@@ -1,0 +1,66 @@
+"""Engine configuration.
+
+The scoring/behavior constants mirror the reference
+(``InvertedIndex.java:21`` TITLE_MATCH_MULTIPLIER=0.9,
+``App.java:23-24`` maxPages=300 / maxSearchResults=50,
+``SearchResult.java:12`` MAX_KEYWORD_COUNT=5); the physical knobs
+(buckets, batch sizes, salting) are ours — the reference is
+single-threaded and has no equivalents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- semantics (must match the reference for rank-identity) ---
+    title_weight: float = 0.9          # InvertedIndex.java:21
+    use_stopwords: bool = True         # Indexer.stemWord, Indexer.java:67
+    use_stemming: bool = True          # Indexer.stemWord, Indexer.java:70
+    max_results: int = 50              # App.java:24
+    max_keywords: int = 5              # SearchResult.java:12
+    # Last-write-wins per url by warc_ts before indexing (reference
+    # freshness semantics, Indexer.java:77-85, expressed batch-style).
+    dedup_urls: bool = True
+    # Verify extracted body text is byte-identical to the input table's
+    # ``text`` column (the per-row invariant from BASELINE.json).
+    verify_extraction: bool = True
+
+    # --- physical layout / scale knobs (ours) ---
+    num_buckets: int = 32              # term-hash partitions for segments
+    tokenize_batch_size: int = 256     # docs per batch in the tokenize stage
+    tokenize_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks)
+    extract_batch_size: int = 256
+    # Hot-term salting: terms whose estimated df exceeds
+    # ``hot_term_df_frac * n_docs`` are split into ``num_salts`` sub-groups
+    # for the term shuffle and merged in a cheap second pass.
+    salt_hot_terms: bool = True
+    hot_term_df_frac: float = 0.05
+    hot_term_sample_frac: float = 0.05
+    num_salts: int = 8
+    min_rows_per_file: int = 65536
+
+    def semantic_key(self) -> str:
+        """Stable hash of the fields that affect index *content* (used to
+        key index caches and resume manifests)."""
+        sem = {
+            "title_weight": self.title_weight,
+            "use_stopwords": self.use_stopwords,
+            "use_stemming": self.use_stemming,
+            "dedup_urls": self.dedup_urls,
+            "num_buckets": self.num_buckets,
+        }
+        return hashlib.md5(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:12]
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+#: Configuration whose output is expressible in ANSI SQL (used by the
+#: DuckDB oracle checks): tokenization + lowercase only, no stopword
+#: removal, no stemming.  Everything else identical.
+ORACLE_CONFIG = IndexConfig(use_stopwords=False, use_stemming=False)
