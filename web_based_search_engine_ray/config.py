@@ -33,8 +33,9 @@ class IndexConfig:
     # --- physical layout / scale knobs (ours) ---
     num_buckets: int = 32              # term-hash partitions for segments
     tokenize_batch_size: int = 256     # docs per batch in the tokenize stage
-    tokenize_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks)
+    tokenize_concurrency: tuple[int, int] = (1, 8)  # actor-pool size range
     extract_batch_size: int = 256
+    extract_concurrency: tuple[int, int] = (1, 8)
     # Hot-term salting: terms whose estimated df exceeds
     # ``hot_term_df_frac * n_docs`` are split into ``num_salts`` sub-groups
     # for the term shuffle and merged in a cheap second pass.

@@ -1,0 +1,357 @@
+"""Index-build pipeline (the rebuild of ``crawl``, ``App.java:28-30``).
+
+Dataflow (SURVEY.md §3.1 rebuild shape) — every wide step is an explicit
+Ray Data shuffle, every stage checkpoints to parquet with a lineage
+manifest (resume skips complete stages):
+
+::
+
+    corpus (url, warc_ts, html[, text, lang[, doc_id]])
+      │  last-write-wins per url by warc_ts          [shuffle: url bucket]
+      ▼
+    extracted/   html → doc_id,title,text,links,page_size,last_modified
+      ├─ docmeta/   (projection)
+      ├─ edges/     (links exploded)
+      ▼
+    segments/    tokenize (actor pool) → (term,doc,positions) rows
+                 → groupby(salted term bucket) → delta+varbyte runs
+                                                 [shuffle: term bucket]
+      ├─ lexicon/   term → df = Σ df_run           [shuffle: term, small]
+      ▼
+    forward/     segments exploded with df → groupby(doc bucket)
+                 → per-doc term/tf/df lists + tfMax [shuffle: doc bucket]
+      ▼
+    docstats/    + N (=forward rowcount) → doc_len_norm
+      ▼
+    meta.json    N, config, stage metrics
+
+Skew: hot terms (detected on a deterministic sample) are salted into
+``num_salts`` runs so no shuffle group holds a mega-term's whole list;
+runs are unioned at query time (df = Σ df_run).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import time
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from web_based_search_engine_ray.config import IndexConfig
+from web_based_search_engine_ray.functions.hashing import stable_hash63
+from web_based_search_engine_ray.stages.extract import Extractor
+from web_based_search_engine_ray.stages.postings import (
+    PostingExtractor,
+    doc_stats_batch,
+    encode_segment_group,
+    explode_segment_rows,
+    forward_bucket_group,
+)
+from web_based_search_engine_ray.state import manifest as mf
+
+STAGES = ("extracted", "docmeta", "edges", "segments", "lexicon", "forward",
+          "docstats")
+
+
+def _fp(*parts: str) -> str:
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _add_url_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    buckets = [stable_hash63(u) % num_buckets for u in urls]
+    return batch.append_column("url_bucket", pa.array(buckets, type=pa.int64()))
+
+
+def _lww_group(group: pa.Table) -> pa.Table:
+    """Keep the newest row per url (last-write-wins by warc_ts) —
+    batch-engine equivalent of the freshness upsert
+    (``Indexer.java:77-85``, ``PostingIndex.java:41-42``).  Vectorized
+    over a whole url-hash bucket."""
+    group = group.sort_by([("url", "ascending"), ("warc_ts", "descending")])
+    urls = np.asarray(group["url"])
+    _, first_idx = np.unique(urls, return_index=True)
+    keep = group.take(pa.array(np.sort(first_idx)))
+    return keep.drop_columns(["url_bucket"])
+
+
+class _TermSampleCounter:
+    """Partial per-batch df counts for hot-term detection."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.extractor = PostingExtractor(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        postings = self.extractor(batch)
+        counts = Counter(postings["term"].to_pylist())
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), type=pa.string()),
+                "df_part": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+
+def detect_hot_terms(extracted, cfg: IndexConfig, n_docs_est: int) -> frozenset[str]:
+    """Deterministic sampled heavy-hitter pass (SURVEY.md §4): terms whose
+    estimated df exceeds ``hot_term_df_frac × N`` get salted."""
+    from ray.data.aggregate import Sum
+
+    frac = cfg.hot_term_sample_frac
+    sample = extracted if frac >= 1.0 else extracted.random_sample(frac, seed=42)
+    counts = sample.map_batches(
+        _TermSampleCounter(cfg), batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+    )
+    agg = counts.groupby("term").aggregate(Sum("df_part", alias_name="df_s"))
+    threshold = max(2.0, cfg.hot_term_df_frac * n_docs_est * min(frac, 1.0))
+    hot = [
+        r["term"]
+        for r in agg.filter(
+            lambda row: row["df_s"] >= threshold
+        ).take_all()
+    ]
+    return frozenset(hot[:100_000])
+
+
+def _explode_links(batch: pa.Table) -> pa.Table:
+    links = batch["links"].combine_chunks()
+    if isinstance(links, pa.ChunkedArray):
+        links = links.chunk(0) if links.num_chunks else pa.array([], pa.list_(pa.string()))
+    offsets = links.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = links.values
+    values = values.slice(offsets[0], offsets[-1] - offsets[0])
+    lens = np.diff(offsets - offsets[0])
+    idx = np.repeat(np.arange(batch.num_rows), lens)
+    take = pa.array(idx)
+    return pa.table(
+        {
+            "src_doc_id": batch["doc_id"].take(take),
+            "src_url": batch["url"].take(take),
+            "dst_url": values,
+        }
+    )
+
+
+def build_index(
+    corpus_fn,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    input_key: str = "",
+    resume: bool = True,
+) -> dict:
+    """Build all index artifacts under ``out_dir``.
+
+    ``corpus_fn``: zero-arg callable returning the corpus ``Dataset``
+    (callable so a resumed run whose extract stage is complete never
+    constructs the input pipeline).  Returns the build report (also
+    persisted as ``meta.json``).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or IndexConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    sem = cfg.semantic_key()
+    results: list[mf.StageResult] = []
+    t_start = time.perf_counter()
+
+    # ---- stage: extracted --------------------------------------------------
+    fp_ext = _fp("extracted", sem, input_key)
+    d_ext = os.path.join(out_dir, "extracted")
+
+    def _build_extracted(stage_dir: str) -> int:
+        ds = corpus_fn()
+        if cfg.dedup_urls:
+            ds = ds.map_batches(
+                functools.partial(_add_url_bucket, num_buckets=cfg.num_buckets),
+                batch_format="pyarrow",
+            )
+            ds = ds.groupby("url_bucket").map_groups(
+                _lww_group, batch_format="pyarrow"
+            )
+        ds = ds.map_batches(
+            Extractor,
+            fn_constructor_kwargs={"verify": cfg.verify_extraction},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=tuple(cfg.extract_concurrency),
+        )
+        ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_ext, fp_ext, _build_extracted, resume=resume))
+    n_docs_est = results[-1].rows
+
+    # ---- stage: docmeta ----------------------------------------------------
+    fp_meta = _fp("docmeta", fp_ext)
+    d_meta = os.path.join(out_dir, "docmeta")
+
+    def _build_docmeta(stage_dir: str) -> int:
+        ds = rd.read_parquet(
+            d_ext,
+            columns=["doc_id", "url", "title", "page_size", "last_modified", "lang"],
+        )
+        ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_meta, fp_meta, _build_docmeta, resume=resume))
+
+    # ---- stage: edges ------------------------------------------------------
+    fp_edges = _fp("edges", fp_ext)
+    d_edges = os.path.join(out_dir, "edges")
+
+    def _build_edges(stage_dir: str) -> int:
+        ds = rd.read_parquet(d_ext, columns=["doc_id", "url", "links"])
+        ds = ds.map_batches(_explode_links, batch_format="pyarrow")
+        ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        _ensure_nonempty_schema(
+            stage_dir,
+            pa.schema(
+                [
+                    ("src_doc_id", pa.int64()),
+                    ("src_url", pa.string()),
+                    ("dst_url", pa.string()),
+                ]
+            ),
+        )
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_edges, fp_edges, _build_edges, resume=resume))
+
+    # ---- stage: segments (the core term shuffle) ---------------------------
+    fp_seg = _fp("segments", fp_ext)
+    d_seg = os.path.join(out_dir, "segments")
+
+    def _build_segments(stage_dir: str) -> int:
+        import ray
+
+        ds = rd.read_parquet(d_ext, columns=["doc_id", "title", "text"])
+        hot_ref = None
+        if cfg.salt_hot_terms:
+            hot = detect_hot_terms(
+                rd.read_parquet(d_ext, columns=["doc_id", "title", "text"]),
+                cfg,
+                n_docs_est,
+            )
+            hot_ref = ray.put(hot)
+        postings = ds.map_batches(
+            PostingExtractor,
+            fn_constructor_args=(cfg, hot_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=tuple(cfg.tokenize_concurrency),
+        )
+        num_salts = cfg.num_salts if cfg.salt_hot_terms else 1
+        segments = postings.groupby("group_key").map_groups(
+            functools.partial(encode_segment_group, num_salts=num_salts),
+            batch_format="pyarrow",
+        )
+        segments.write_parquet(stage_dir, partition_cols=["bucket"])
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume))
+
+    # ---- stage: lexicon ----------------------------------------------------
+    fp_lex = _fp("lexicon", fp_seg)
+    d_lex = os.path.join(out_dir, "lexicon")
+
+    def _build_lexicon(stage_dir: str) -> int:
+        ds = rd.read_parquet(d_seg, columns=["term", "df_run"])
+        lex = ds.groupby("term").aggregate(Sum("df_run", alias_name="df"))
+        lex.write_parquet(stage_dir)
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_lex, fp_lex, _build_lexicon, resume=resume))
+
+    # ---- stage: forward (doc shuffle over exploded segments) ---------------
+    fp_fwd = _fp("forward", fp_seg)
+    d_fwd = os.path.join(out_dir, "forward")
+
+    def _build_forward(stage_dir: str) -> int:
+        ds = rd.read_parquet(d_seg)
+        # explode runs per bucket so df = Σ df_run is complete (all runs
+        # of a term share its bucket)
+        flat = ds.groupby("bucket").map_groups(
+            explode_segment_rows, batch_format="pyarrow"
+        )
+        flat = flat.map_batches(
+            lambda b: b.append_column(
+                "doc_bucket",
+                pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False) % cfg.num_buckets,
+                    type=pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        fwd = flat.groupby("doc_bucket").map_groups(
+            forward_bucket_group, batch_format="pyarrow"
+        )
+        fwd.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_fwd, fp_fwd, _build_forward, resume=resume))
+    n_docs = results[-1].rows  # N = docs with >=1 term (InvertedIndex.java:72)
+
+    # ---- stage: docstats ---------------------------------------------------
+    fp_stats = _fp("docstats", fp_fwd, str(n_docs))
+    d_stats = os.path.join(out_dir, "docstats")
+
+    def _build_docstats(stage_dir: str) -> int:
+        ds = rd.read_parquet(
+            d_fwd, columns=["doc_id", "title_tfs", "body_tfs", "dfs", "tf_max"]
+        )
+        stats = ds.map_batches(
+            functools.partial(doc_stats_batch, n_docs=n_docs),
+            batch_format="pyarrow",
+        )
+        stats.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_stats, fp_stats, _build_docstats, resume=resume))
+
+    report = {
+        "n_docs": n_docs,
+        "config": cfg.to_dict(),
+        "input_key": input_key,
+        "total_wall_sec": round(time.perf_counter() - t_start, 4),
+        "stages": [
+            {
+                "name": r.name,
+                "rows": r.rows,
+                "wall_sec": round(r.wall_sec, 4),
+                "skipped": r.skipped,
+            }
+            for r in results
+        ],
+    }
+    mf.write_json(os.path.join(out_dir, "meta.json"), report)
+    return report
+
+
+def _count_parquet(path: str) -> int:
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path, format="parquet", partitioning="hive").count_rows()
+
+
+def _ensure_nonempty_schema(stage_dir: str, schema: pa.Schema) -> None:
+    """Ray writes no files for a 0-row dataset; drop in an empty parquet
+    file so downstream filtered reads still see the schema."""
+    import pyarrow.parquet as pq
+
+    has_file = any(
+        fn.endswith(".parquet")
+        for _root, _dirs, files in os.walk(stage_dir)
+        for fn in files
+    )
+    if not has_file:
+        pq.write_table(
+            schema.empty_table(), os.path.join(stage_dir, "empty.parquet")
+        )

@@ -1,0 +1,383 @@
+"""Query engine over the built index artifacts.
+
+Reproduces the reference search path exactly (``Indexer.search``,
+``Indexer.java:243-284`` + ``InvertedIndex.java:97-173`` +
+``PostingIndex.java:184-247``):
+
+- query words are stemmed with the same stop-stem pipeline; terms
+  missing from the lexicon contribute nothing (df=0 → empty map,
+  ``InvertedIndex.java:115-117``);
+- per-term partial score = ``(0.9·title_tf + 0.1·body_tf) ·
+  log10(N/df) / tfMax(doc)``; per-doc scores are summed across query
+  terms (OR semantics) and divided by the precomputed cosine doc
+  length (``doc_len_norm``; the reference recomputes it per query —
+  same value).  A degenerate corpus (all idf = 0) yields NaN scores,
+  as in the reference;
+- phrase filtering is the non-associative left-fold positional
+  intersection, per field (``PostingIndex.mergePhrase``), applied as a
+  semi-join on the scored candidates;
+- top-k uses the deterministic tie-break (score desc, doc_id asc) —
+  the reference's tie order is HashMap-nondeterministic, so rank
+  groups (not tie order) are the conformance surface (SURVEY.md §2.6);
+- hydration (title, url, last_modified, page_size, top-5 keywords,
+  parent/child links — ``Indexer.buildSearchResult``,
+  ``Indexer.java:194-231``) touches only the k result rows via
+  filtered parquet reads.
+
+Scale note (10^12 docs): this ``Searcher`` keeps lexicon + docstats
+in worker memory and reads posting runs via bucket-pruned parquet —
+the per-node footprint is docstats (16 B/doc), which is the sharding
+axis: at full scale searchers shard by ``doc_id`` range behind a
+scatter-gather (each shard scores its docs, partial top-k heaps are
+merged), which composes with this implementation unchanged.  Batch
+query workloads run it as an actor pool (``batch_search``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from web_based_search_engine_ray.config import IndexConfig
+from web_based_search_engine_ray.functions.hashing import stable_hash63
+from web_based_search_engine_ray.functions.tokenize import stem_word, tokenize
+from web_based_search_engine_ray.stages import codec
+from web_based_search_engine_ray.state import manifest as mf
+
+
+class Searcher:
+    """Loads the small artifacts once (lexicon, docstats, meta); posting
+    runs and hydration rows are filtered parquet reads."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        meta = mf.read_json(os.path.join(index_dir, "meta.json"))
+        self.n_docs: int = meta["n_docs"]
+        self.cfg = IndexConfig(**meta["config"])
+
+        lex = pads.dataset(
+            os.path.join(index_dir, "lexicon"), format="parquet"
+        ).to_table()
+        self.lexicon: dict[str, int] = dict(
+            zip(lex["term"].to_pylist(), lex["df"].to_pylist())
+        )
+
+        stats = pads.dataset(
+            os.path.join(index_dir, "docstats"), format="parquet"
+        ).to_table().sort_by("doc_id")
+        self._stat_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
+        self._tf_max = stats["tf_max"].to_numpy(zero_copy_only=False).astype(np.float64)
+        self._norm = stats["doc_len_norm"].to_numpy(zero_copy_only=False)
+
+        self._segments = pads.dataset(
+            os.path.join(index_dir, "segments"),
+            format="parquet",
+            partitioning="hive",
+        )
+        self._docmeta = pads.dataset(
+            os.path.join(index_dir, "docmeta"), format="parquet"
+        )
+        self._forward = pads.dataset(
+            os.path.join(index_dir, "forward"), format="parquet"
+        )
+        self._edges = pads.dataset(
+            os.path.join(index_dir, "edges"), format="parquet"
+        )
+
+    # ------------------------------------------------------------------ utils
+    def stem_query_word(self, word: str) -> str | None:
+        return stem_word(
+            word,
+            use_stopwords=self.cfg.use_stopwords,
+            use_stemming=self.cfg.use_stemming,
+        )
+
+    def _term_runs(self, term: str, columns: list[str]) -> pa.Table:
+        bucket = stable_hash63(term) % self.cfg.num_buckets
+        return self._segments.to_table(
+            columns=columns,
+            filter=(pc.field("bucket") == bucket) & (pc.field("term") == term),
+        )
+
+    def postings(self, term: str):
+        """Merged runs → (doc_ids, title_tfs, body_tfs), doc-sorted."""
+        t = self._term_runs(term, ["df_run", "doc_gaps", "title_tfs", "body_tfs"])
+        if t.num_rows == 0:
+            return None
+        ids_parts, ttf_parts, btf_parts = [], [], []
+        for i in range(t.num_rows):
+            ids_parts.append(codec.decode_sorted(t["doc_gaps"][i].as_py()))
+            ttf_parts.append(codec.varbyte_decode(t["title_tfs"][i].as_py()).astype(np.int64))
+            btf_parts.append(codec.varbyte_decode(t["body_tfs"][i].as_py()).astype(np.int64))
+        ids = np.concatenate(ids_parts)
+        ttf = np.concatenate(ttf_parts)
+        btf = np.concatenate(btf_parts)
+        if t.num_rows > 1:
+            order = np.argsort(ids, kind="stable")
+            ids, ttf, btf = ids[order], ttf[order], btf[order]
+        return ids, ttf, btf
+
+    def postings_with_positions(self, term: str):
+        """Merged runs incl. per-doc position arrays (phrase queries)."""
+        t = self._term_runs(
+            term,
+            ["doc_gaps", "title_tfs", "body_tfs", "title_pos", "body_pos"],
+        )
+        if t.num_rows == 0:
+            return None
+        ids_parts, ttf_parts, btf_parts = [], [], []
+        tpos_parts, bpos_parts = [], []
+        for i in range(t.num_rows):
+            ids = codec.decode_sorted(t["doc_gaps"][i].as_py())
+            ttfs = codec.varbyte_decode(t["title_tfs"][i].as_py()).astype(np.int64)
+            btfs = codec.varbyte_decode(t["body_tfs"][i].as_py()).astype(np.int64)
+            tflat = codec.decode_concat_positions(t["title_pos"][i].as_py(), ttfs)
+            bflat = codec.decode_concat_positions(t["body_pos"][i].as_py(), btfs)
+            ids_parts.append(ids)
+            ttf_parts.append(ttfs)
+            btf_parts.append(btfs)
+            toff = np.concatenate(([0], np.cumsum(ttfs)))
+            boff = np.concatenate(([0], np.cumsum(btfs)))
+            tpos_parts.extend(
+                tflat[toff[j]:toff[j + 1]] for j in range(len(ids))
+            )
+            bpos_parts.extend(
+                bflat[boff[j]:boff[j + 1]] for j in range(len(ids))
+            )
+        ids = np.concatenate(ids_parts)
+        order = np.argsort(ids, kind="stable")
+        return {
+            int(ids[j]): (tpos_parts[j], bpos_parts[j]) for j in order
+        }
+
+    # ------------------------------------------------------------------ score
+    def scores(self, words) -> dict[int, float]:
+        """``InvertedIndex.getScores`` (OR-merge + cosine normalization)."""
+        terms = {w for w in (self.stem_query_word(x) for x in words) if w}
+        id_parts, score_parts = [], []
+        for term in terms:
+            df = self.lexicon.get(term, 0)
+            if df == 0:
+                continue
+            p = self.postings(term)
+            if p is None:
+                continue
+            ids, ttf, btf = p
+            idf = math.log10(self.n_docs / df)
+            a = self.cfg.title_weight
+            adj = a * ttf + (1.0 - a) * btf
+            pos = np.searchsorted(self._stat_ids, ids)
+            partial = adj * idf / self._tf_max[pos]
+            id_parts.append(ids)
+            score_parts.append(partial)
+        if not id_parts:
+            return {}
+        all_ids = np.concatenate(id_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, all_scores)
+        pos = np.searchsorted(self._stat_ids, uniq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            final = sums / self._norm[pos]
+        return dict(zip(uniq.tolist(), final.tolist()))
+
+    # ----------------------------------------------------------------- phrase
+    def documents_with_phrase(self, phrase: list[str]) -> set[int]:
+        """Left-fold positional merge (non-associative, order preserved —
+        ``PostingIndex.java:230-247``)."""
+        terms = [w for w in (self.stem_query_word(x) for x in phrase) if w]
+        if not terms:
+            return set()
+        lists = []
+        for term in terms:
+            p = self.postings_with_positions(term)
+            lists.append(p if p is not None else {})
+        merged = lists[0]
+        for cur in lists[1:]:
+            merged = _merge_phrase(merged, cur)
+        return set(merged.keys())
+
+    # ------------------------------------------------------------------ query
+    def search(
+        self,
+        words,
+        phrase: list[str] | None = None,
+        k: int | None = None,
+        hydrate: bool = True,
+    ) -> pd.DataFrame:
+        k = k if k is not None else self.cfg.max_results
+        phrase = phrase or []
+        score_map = self.scores(words)
+        stemmed_phrase = [
+            w for w in (self.stem_query_word(x) for x in phrase) if w
+        ]
+        if stemmed_phrase:
+            allowed = self.documents_with_phrase(phrase)
+            score_map = {d: s for d, s in score_map.items() if d in allowed}
+        if not score_map:
+            return _empty_results(hydrate)
+        ids = np.fromiter(score_map.keys(), dtype=np.int64, count=len(score_map))
+        vals = np.fromiter(score_map.values(), dtype=np.float64, count=len(score_map))
+        # deterministic top-k: score desc, doc_id asc (NaN sorts last,
+        # matching Java's Double.compare only by our explicit choice —
+        # conformance compares rank groups by score)
+        order = np.lexsort((ids, -vals))
+        nan_mask = np.isnan(vals[order])
+        order = np.concatenate((order[~nan_mask], order[nan_mask]))
+        top = order[:k]
+        df = pd.DataFrame({"doc_id": ids[top], "score": vals[top]})
+        if hydrate:
+            df = self.hydrate(df)
+        return df
+
+    # --------------------------------------------------------------- hydrate
+    def hydrate(self, results: pd.DataFrame) -> pd.DataFrame:
+        """``Indexer.buildSearchResult`` for the k result rows only."""
+        if results.empty:
+            return _empty_results(True)
+        ids = results["doc_id"].tolist()
+        meta = self._docmeta.to_table(
+            filter=pc.field("doc_id").isin(ids)
+        ).to_pandas().set_index("doc_id")
+        fwd = self._forward.to_table(
+            columns=["doc_id", "terms", "title_tfs", "body_tfs"],
+            filter=pc.field("doc_id").isin(ids),
+        ).to_pandas().set_index("doc_id")
+        urls = meta["url"].to_dict()
+        child = self._edges.to_table(
+            columns=["src_doc_id", "dst_url"],
+            filter=pc.field("src_doc_id").isin(ids),
+        ).to_pandas()
+        parent = self._edges.to_table(
+            columns=["src_url", "dst_url"],
+            filter=pc.field("dst_url").isin(list(urls.values())),
+        ).to_pandas()
+        child_map = child.groupby("src_doc_id")["dst_url"].apply(
+            lambda s: sorted(set(s))
+        ).to_dict()
+        parent_by_url = parent.groupby("dst_url")["src_url"].apply(
+            lambda s: sorted(set(s))
+        ).to_dict()
+
+        rows = []
+        for doc_id, score in zip(results["doc_id"], results["score"]):
+            m = meta.loc[doc_id] if doc_id in meta.index else None
+            kw: list[tuple[str, int]] = []
+            if doc_id in fwd.index:
+                f = fwd.loc[doc_id]
+                freqs = [
+                    (t, int(a) + int(b))
+                    for t, a, b in zip(f["terms"], f["title_tfs"], f["body_tfs"])
+                ]
+                # top-5 by freq desc; term asc tie-break (reference tie
+                # order is HashMap-nondeterministic, SearchResult.java:33-44)
+                freqs.sort(key=lambda x: (-x[1], x[0]))
+                kw = freqs[: self.cfg.max_keywords]
+            url = urls.get(doc_id, "")
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "score": score,
+                    "title": (m["title"] if m is not None else ""),
+                    "url": url,
+                    "last_modified": (m["last_modified"] if m is not None else None),
+                    "page_size": int(m["page_size"]) if m is not None else 0,
+                    "keywords": kw,
+                    "parent_links": parent_by_url.get(url, []),
+                    "child_links": child_map.get(doc_id, []),
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+def _merge_phrase(prev: dict, cur: dict) -> dict:
+    """``PostingIndex.mergePhrase`` (``PostingIndex.java:184-220``):
+    advance the accumulated prefix's positions by +1 and intersect with
+    the next word's positions, per field; keep docs where either field
+    intersection is non-empty."""
+    out = {}
+    if len(cur) < len(prev):
+        items = ((d, prev[d], cur[d]) for d in cur if d in prev)
+    else:
+        items = ((d, p, cur[d]) for d, p in prev.items() if d in cur)
+    for d, (pt, pb), (ct, cb) in items:
+        nt = np.intersect1d(pt + 1, ct, assume_unique=True)
+        nb = np.intersect1d(pb + 1, cb, assume_unique=True)
+        if nt.size or nb.size:
+            out[d] = (nt, nb)
+    return out
+
+
+def _empty_results(hydrate: bool) -> pd.DataFrame:
+    cols = ["doc_id", "score"]
+    if hydrate:
+        cols += ["title", "url", "last_modified", "page_size", "keywords",
+                 "parent_links", "child_links"]
+    return pd.DataFrame(columns=cols)
+
+
+class SearcherPool:
+    """Actor-pool stage for batch query workloads: one ``Searcher`` per
+    actor (index artifacts loaded once), queries streamed as batches."""
+
+    def __init__(self, index_dir: str, k: int = 10, hydrate: bool = False):
+        self.searcher = Searcher(index_dir)
+        self.k = k
+        self.hydrate = hydrate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores, ranks = [], [], [], []
+        for qid, q in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
+            words, phrase = parse_query(q)
+            res = self.searcher.search(words, phrase, k=self.k, hydrate=self.hydrate)
+            for rank, (d, s) in enumerate(zip(res["doc_id"], res["score"])):
+                qids.append(qid)
+                docs.append(int(d))
+                scores.append(float(s))
+                ranks.append(rank)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def parse_query(q: str) -> tuple[set[str], list[str]]:
+    """Reference query parsing (``JavalinServer.java:48-61``): all tokens
+    (quotes are delimiters) form the keyword set; the outermost
+    double-quoted span forms the ordered phrase."""
+    import re
+
+    words = set(tokenize(q))
+    phrase: list[str] = []
+    m = re.search(r'"(.*)"', q)  # greedy → outermost pair
+    if m:
+        phrase = tokenize(m.group(1))
+    return words, phrase
+
+
+def batch_search(index_dir: str, queries: list[str], *, k: int = 10,
+                 concurrency=(1, 8)):
+    """Distributed batch search: queries Dataset → actor-pool Searcher."""
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    )
+    return ds.map_batches(
+        SearcherPool,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )

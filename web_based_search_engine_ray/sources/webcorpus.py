@@ -1,0 +1,120 @@
+"""Deterministic synthetic Common-Crawl-style web table.
+
+``BASELINE.json``'s input hint defines the corpus shape
+``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``.  This module synthesizes that table deterministically
+from the driver-provided ``documents.parquet`` (``doc_id, text, lang,
+...``) so tests/benchmarks have a web corpus without external data.  A
+``doc_id`` column is carried along; real Common-Crawl inputs without one
+get ``doc_id = stable_hash63(url)`` in the extract stage.
+
+Every derivation below is mirrored 1:1 by SQL expressions (see
+``sql_exprs``) so DuckDB oracles can reproduce the corpus from the
+``documents`` view:
+
+- ``url     = 'https://corpus.example.com/' || printf('%012d', doc_id) || '.html'``
+- ``warc_ts = TIMESTAMP '2024-01-01 00:00:00' + doc_id seconds``
+- ``title   = 'Doc ' || doc_id``
+- links: children at ``doc_id + 1``, ``doc_id + 7``, ``doc_id + 42``
+  (may point past the corpus — the reference likewise creates ids for
+  never-crawled link targets, ``Indexer.java:106-114``)
+- ``html    = <html><head><title>{esc title}</title></head>``
+  ``<body><p>{esc text}</p><a href="..."></a>x3</body></html>``
+
+The body text round-trips byte-identically through
+``stages.extract.Extractor`` (tag strip + entity unescape), satisfying
+the BASELINE per-row invariant (input ``text`` column is the oracle).
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+import pyarrow as pa
+
+URL_PREFIX = "https://corpus.example.com/"
+URL_SUFFIX = ".html"
+EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+LINK_OFFSETS = (1, 7, 42)
+
+#: SQL fragments reproducing the derivations on the ``documents`` view.
+SQL_URL = "'https://corpus.example.com/' || printf('%012d', doc_id) || '.html'"
+SQL_TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+SQL_WARC_TS = "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 1000000)"
+
+
+def doc_url(doc_id: int) -> str:
+    return f"{URL_PREFIX}{doc_id:012d}{URL_SUFFIX}"
+
+
+def doc_title(doc_id: int) -> str:
+    return f"Doc {doc_id}"
+
+
+def make_html(doc_id: int, text: str) -> bytes:
+    title = _html.escape(doc_title(doc_id))
+    body = _html.escape(text)
+    links = "".join(
+        f'<a href="{doc_url(doc_id + off)}"></a>' for off in LINK_OFFSETS
+    )
+    return (
+        f"<html><head><title>{title}</title></head>"
+        f"<body><p>{body}</p>{links}</body></html>"
+    ).encode("utf-8")
+
+
+def synth_batch(batch: pa.Table) -> pa.Table:
+    """documents-shaped Arrow batch → input-hint web table batch."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"]
+    urls = [doc_url(int(d)) for d in doc_ids]
+    htmls = [make_html(int(d), t) for d, t in zip(doc_ids, texts)]
+    warc_ts = EPOCH + doc_ids.astype("timedelta64[s]").astype("timedelta64[us]")
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": batch["text"],
+            "lang": langs,
+            "doc_id": batch["doc_id"],
+        }
+    )
+
+
+def _repeat_batch(batch: pa.Table, repeat: int, stride: int = 10**9) -> pa.Table:
+    """Deterministically replicate docs ``repeat``× with distinct doc_ids
+    (offset by k*stride) — used only to scale benchmark inputs."""
+    if repeat <= 1:
+        return batch
+    parts = []
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    for k in range(repeat):
+        t = batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(ids + k * stride, type=pa.int64()),
+        )
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
+def synth_corpus(sf_dir: str, *, repeat: int = 1, parallelism: int | None = None):
+    """Ray Dataset of the synthetic web corpus for a testdata sf dir."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    if parallelism:
+        ds = ds.repartition(parallelism)
+    if repeat > 1:
+        ds = ds.map_batches(
+            lambda b: synth_batch(_repeat_batch(b, repeat)),
+            batch_format="pyarrow",
+        )
+    else:
+        ds = ds.map_batches(synth_batch, batch_format="pyarrow")
+    return ds

@@ -1,0 +1,119 @@
+"""Per-stage lineage + metrics manifests enabling resume.
+
+The reference has no checkpoints at all (one jdbm ``commit()`` at close,
+``Indexer.java:299-303`` — a crash loses the run).  Here every pipeline
+stage writes its output parquet into a stage directory and then a
+``_MANIFEST.json`` recording the input fingerprint, row count, output
+files (per-partition lineage), wall time and config key.  A re-run with
+``resume=True`` skips stages whose manifest matches the fingerprint;
+incomplete stage directories (no manifest) are wiped and rebuilt, so
+output is written atomically at stage granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    wall_sec: float
+    skipped: bool
+    extra: dict = field(default_factory=dict)
+
+
+def _manifest_path(stage_dir: str) -> str:
+    # Sibling file (NOT inside the directory) so parquet readers over the
+    # stage dir never see it.
+    return stage_dir.rstrip("/") + ".manifest.json"
+
+
+def load_manifest(stage_dir: str) -> dict | None:
+    p = _manifest_path(stage_dir)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def is_complete(stage_dir: str, fingerprint: str) -> bool:
+    if not os.path.isdir(stage_dir):
+        return False
+    m = load_manifest(stage_dir)
+    return m is not None and m.get("fingerprint") == fingerprint
+
+
+def partition_files(stage_dir: str) -> list[dict]:
+    """Per-partition lineage: every parquet part file with its size."""
+    out = []
+    for root, _dirs, files in os.walk(stage_dir):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                full = os.path.join(root, fn)
+                out.append(
+                    {
+                        "file": os.path.relpath(full, stage_dir),
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+    return out
+
+
+def run_stage(
+    stage_dir: str,
+    fingerprint: str,
+    build_fn,
+    *,
+    resume: bool = True,
+    extra_metrics: dict | None = None,
+) -> StageResult:
+    """Run ``build_fn(stage_dir)`` (which must write parquet into
+    ``stage_dir`` and return a row count) unless a matching manifest
+    already marks the stage complete."""
+    name = os.path.basename(stage_dir.rstrip("/"))
+    if resume and is_complete(stage_dir, fingerprint):
+        m = load_manifest(stage_dir)
+        return StageResult(name, stage_dir, m.get("rows", -1), 0.0, True, m)
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)
+    if os.path.exists(_manifest_path(stage_dir)):
+        os.remove(_manifest_path(stage_dir))
+    os.makedirs(stage_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    rows = build_fn(stage_dir)
+    wall = time.perf_counter() - t0
+    manifest = {
+        "stage": name,
+        "fingerprint": fingerprint,
+        "rows": int(rows),
+        "wall_sec": round(wall, 4),
+        "partitions": partition_files(stage_dir),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    if extra_metrics:
+        manifest.update(extra_metrics)
+    with open(_manifest_path(stage_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return StageResult(name, stage_dir, int(rows), wall, False, manifest)
+
+
+def write_json(path: str, obj: Any) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> Any:
+    with open(path) as f:
+        return json.load(f)
