@@ -1,0 +1,199 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "queries_per_sec": ...}
+
+--scaling: runs the same job in fresh processes at 8 and 32 CPUs on the
+same input and reports both throughputs + scaling efficiency
+(BASELINE.md protocol: efficiency = (t_8/t_32)/4, target >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_CORPUS_REPEAT", "4"))  # 5000 docs x4 = 20k
+N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "400"))
+
+_QUERY_VOCAB = [
+    "spark", "merge", "join", "window", "batch", "stream", "filter",
+    "customer", "table", "scan", "sort", "group", "query", "row", "data",
+    "hash", "key", "agg", "line", "column", "fast", "slow", "big", "small",
+]
+
+
+def make_queries(n: int) -> list[str]:
+    """Deterministic mixed query set (1-3 words, every 5th has a phrase)."""
+    out = []
+    v = _QUERY_VOCAB
+    for i in range(n):
+        w1 = v[i % len(v)]
+        w2 = v[(i * 7 + 3) % len(v)]
+        w3 = v[(i * 13 + 5) % len(v)]
+        if i % 5 == 4:
+            out.append(f'{w1} "{w2} {w3}"')
+        elif i % 3 == 0:
+            out.append(f"{w1} {w2} {w3}")
+        else:
+            out.append(f"{w1} {w2}")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines import dedup, events, similarity
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.search import batch_search
+    from web_based_search_engine_ray.pipelines.text_pipeline import quality_batch
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    import ray.data as rd
+
+    timings: dict[str, float] = {}
+    idx_dir = f"/tmp/bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # warm the page cache so we measure compute+shuffle, not first read
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/embeddings.parquet").count()
+
+    # fixed-size pools: autoscaling ramps from 1 and wastes the whole
+    # stage at bench scale
+    pool = max(2, NUM_CPUS // 2)
+    cfg = IndexConfig(
+        extract_concurrency=(pool, pool),
+        tokenize_concurrency=(pool, pool),
+    )
+
+    # 1. index build (the headline: read -> extract -> tokenize ->
+    #    term shuffle -> segments + lexicon + forward + docstats)
+    t0 = time.perf_counter()
+    report = build_index(
+        lambda: synth_corpus(SF_DIR, repeat=REPEAT),
+        idx_dir,
+        cfg,
+        input_key=f"bench-{SF_DIR}-{REPEAT}",
+        resume=False,
+    )
+    timings["index_build"] = time.perf_counter() - t0
+    n_docs = report["n_docs"]
+
+    # 2. batch search (k=10 top-k incl. phrases)
+    queries = make_queries(N_QUERIES)
+    t0 = time.perf_counter()
+    res = batch_search(
+        idx_dir, queries, k=10,
+        concurrency=(pool, pool),
+    ).to_pandas()
+    timings["search_batch"] = time.perf_counter() - t0
+    assert len(res) > 0
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    # 3. minhash-lsh dedup candidates
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+    timings["dedup_minhash"] = time.perf_counter() - t0
+
+    # 4. text quality scoring
+    t0 = time.perf_counter()
+    docs.map_batches(quality_batch, batch_format="pyarrow").count()
+    timings["text_quality"] = time.perf_counter() - t0
+
+    # 5. sessionization
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    t0 = time.perf_counter()
+    events.sessionize(ev).count()
+    timings["events_sessionize"] = time.perf_counter() - t0
+
+    # 6. ANN brute-force top-k (16 queries)
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = np.asarray(
+        emb.filter(expr="vec_id < 16").to_pandas()
+        .sort_values("vec_id")["embedding"].tolist()
+    )
+    t0 = time.perf_counter()
+    similarity.brute_force_topk(emb, qv, k=10)
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    ray.shutdown()
+
+    total = sum(timings.values())
+    return {
+        "metric": "index+search+dataops wall sec (sf docs x repeat)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "corpus_repeat": REPEAT,
+        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "queries_per_sec": round(N_QUERIES / timings["search_batch"], 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    # throughput scaling on the index-build headline
+    thr_lo = r_lo["docs_per_sec"]
+    thr_hi = r_hi["docs_per_sec"]
+    eff_build = (thr_hi / thr_lo) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+        "cpus": [lo, hi],
+        "sec": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
+        "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "queries_per_sec": {
+            str(lo): r_lo["queries_per_sec"], str(hi): r_hi["queries_per_sec"]
+        },
+        "scaling_efficiency_index_build": round(eff_build, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+        "detail": {str(lo): r_lo["queries"], str(hi): r_hi["queries"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -125,8 +125,8 @@ def golden_index(ray_session, tmp_path_factory):
     cfg = IndexConfig(
         extract_concurrency=(1, 2),
         tokenize_concurrency=(1, 2),
-        salt_hot_terms=False,
         num_buckets=4,
+        shuffle_partitions=4,
     )
     build_index(corpus, out, cfg, input_key="golden", resume=False)
     return out

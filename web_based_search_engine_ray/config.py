@@ -36,13 +36,20 @@ class IndexConfig:
     tokenize_concurrency: tuple[int, int] = (1, 8)  # actor-pool size range
     extract_batch_size: int = 256
     extract_concurrency: tuple[int, int] = (1, 8)
-    # Hot-term salting: terms whose estimated df exceeds
-    # ``hot_term_df_frac * n_docs`` are split into ``num_salts`` sub-groups
-    # for the term shuffle and merged in a cheap second pass.
-    salt_hot_terms: bool = True
-    hot_term_df_frac: float = 0.05
-    hot_term_sample_frac: float = 0.05
-    num_salts: int = 8
+    # Segment build is local-index-then-merge: posting runs are encoded
+    # per tokenize block (no shuffle of raw postings), then compacted
+    # per term-hash bucket — the shuffle moves only compressed runs.
+    # Hot (Zipf-head) terms are merged into bounded chunks of
+    # ``max_run_docs`` docs so no single merge task holds a mega-term's
+    # full posting list; query unions runs (df = Σ df_run).
+    compact_segments: bool = True
+    max_run_docs: int = 5_000_000
+    # Shuffle parallelism: groupby inputs are coalesced to this many
+    # blocks first (None = 2 × cluster CPUs).  Ray's sort shuffle cost
+    # scales with block count, which at test scale is dominated by
+    # many tiny blocks; a 100-TB deployment should set this to
+    # ~data_size / target_block_size instead.
+    shuffle_partitions: int | None = None
     min_rows_per_file: int = 65536
 
     def semantic_key(self) -> str:
@@ -54,6 +61,8 @@ class IndexConfig:
             "use_stemming": self.use_stemming,
             "dedup_urls": self.dedup_urls,
             "num_buckets": self.num_buckets,
+            "compact_segments": self.compact_segments,
+            "max_run_docs": self.max_run_docs,
         }
         return hashlib.md5(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:12]
 

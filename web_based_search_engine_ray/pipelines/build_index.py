@@ -13,9 +13,10 @@ manifest (resume skips complete stages):
       ├─ docmeta/   (projection)
       ├─ edges/     (links exploded)
       ▼
-    segments/    tokenize (actor pool) → (term,doc,positions) rows
-                 → groupby(salted term bucket) → delta+varbyte runs
-                                                 [shuffle: term bucket]
+    segments/    tokenize+encode (actor pool) → one compressed posting
+                 run per (term, block) — local index, NO shuffle of raw
+                 postings — then compaction merges runs per term-hash
+                 bucket              [shuffle: term bucket, compressed]
       ├─ lexicon/   term → df = Σ df_run           [shuffle: term, small]
       ▼
     forward/     segments exploded with df → groupby(doc bucket)
@@ -25,9 +26,12 @@ manifest (resume skips complete stages):
       ▼
     meta.json    N, config, stage metrics
 
-Skew: hot terms (detected on a deterministic sample) are salted into
-``num_salts`` runs so no shuffle group holds a mega-term's whole list;
-runs are unioned at query time (df = Σ df_run).
+Skew (Zipf-head terms at web scale): compaction re-chunks a hot term's
+merged list into runs of ≤ ``max_run_docs`` docs, so no task ever holds
+a mega-term's full posting list; the query side unions runs and
+df = Σ df_run.  Shuffle inputs are coalesced to
+``cfg.shuffle_partitions`` blocks first (Ray sort-shuffle cost scales
+with block count).
 """
 
 from __future__ import annotations
@@ -36,7 +40,6 @@ import functools
 import hashlib
 import os
 import time
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -45,9 +48,9 @@ from web_based_search_engine_ray.config import IndexConfig
 from web_based_search_engine_ray.functions.hashing import stable_hash63
 from web_based_search_engine_ray.stages.extract import Extractor
 from web_based_search_engine_ray.stages.postings import (
-    PostingExtractor,
+    TokenizeEncode,
+    compact_bucket,
     doc_stats_batch,
-    encode_segment_group,
     explode_segment_rows,
     forward_bucket_group,
 )
@@ -79,43 +82,36 @@ def _lww_group(group: pa.Table) -> pa.Table:
     return keep.drop_columns(["url_bucket"])
 
 
-class _TermSampleCounter:
-    """Partial per-batch df counts for hot-term detection."""
+def _shuffle_parts(cfg: IndexConfig) -> int:
+    """Shuffle parallelism (see IndexConfig.shuffle_partitions): Ray's
+    sort shuffle costs scale with input block count, so tiny test-scale
+    blocks are coalesced before every groupby."""
+    if cfg.shuffle_partitions:
+        return cfg.shuffle_partitions
+    try:
+        import ray
 
-    def __init__(self, cfg: IndexConfig):
-        self.extractor = PostingExtractor(cfg)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        postings = self.extractor(batch)
-        counts = Counter(postings["term"].to_pylist())
-        return pa.table(
-            {
-                "term": pa.array(list(counts.keys()), type=pa.string()),
-                "df_part": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    except Exception:
+        pass
+    return 16
 
 
-def detect_hot_terms(extracted, cfg: IndexConfig, n_docs_est: int) -> frozenset[str]:
-    """Deterministic sampled heavy-hitter pass (SURVEY.md §4): terms whose
-    estimated df exceeds ``hot_term_df_frac × N`` get salted."""
-    from ray.data.aggregate import Sum
+def _extract_task(batch: pa.Table, *, verify: bool) -> pa.Table:
+    from web_based_search_engine_ray.util import worker_singleton
 
-    frac = cfg.hot_term_sample_frac
-    sample = extracted if frac >= 1.0 else extracted.random_sample(frac, seed=42)
-    counts = sample.map_batches(
-        _TermSampleCounter(cfg), batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size,
+    inst = worker_singleton(("extractor", verify), lambda: Extractor(verify=verify))
+    return inst(batch)
+
+
+def _tokenize_encode_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
+    from web_based_search_engine_ray.util import worker_singleton
+
+    inst = worker_singleton(
+        ("tokenize_encode", cfg.semantic_key()), lambda: TokenizeEncode(cfg)
     )
-    agg = counts.groupby("term").aggregate(Sum("df_part", alias_name="df_s"))
-    threshold = max(2.0, cfg.hot_term_df_frac * n_docs_est * min(frac, 1.0))
-    hot = [
-        r["term"]
-        for r in agg.filter(
-            lambda row: row["df_s"] >= threshold
-        ).take_all()
-    ]
-    return frozenset(hot[:100_000])
+    return inst(batch)
 
 
 def _explode_links(batch: pa.Table) -> pa.Table:
@@ -172,21 +168,20 @@ def build_index(
                 functools.partial(_add_url_bucket, num_buckets=cfg.num_buckets),
                 batch_format="pyarrow",
             )
+            ds = ds.repartition(_shuffle_parts(cfg))
             ds = ds.groupby("url_bucket").map_groups(
                 _lww_group, batch_format="pyarrow"
             )
         ds = ds.map_batches(
-            Extractor,
-            fn_constructor_kwargs={"verify": cfg.verify_extraction},
+            functools.partial(_extract_task, verify=cfg.verify_extraction),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=tuple(cfg.extract_concurrency),
         )
         ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_ext, fp_ext, _build_extracted, resume=resume))
-    n_docs_est = results[-1].rows
+    _n_docs_est = results[-1].rows  # retained for manifest context
 
     # ---- stage: docmeta ----------------------------------------------------
     fp_meta = _fp("docmeta", fp_ext)
@@ -229,30 +224,31 @@ def build_index(
     d_seg = os.path.join(out_dir, "segments")
 
     def _build_segments(stage_dir: str) -> int:
-        import ray
+        from web_based_search_engine_ray.sources.webcorpus import (
+            default_parallelism,
+        )
 
-        ds = rd.read_parquet(d_ext, columns=["doc_id", "title", "text"])
-        hot_ref = None
-        if cfg.salt_hot_terms:
-            hot = detect_hot_terms(
-                rd.read_parquet(d_ext, columns=["doc_id", "title", "text"]),
-                cfg,
-                n_docs_est,
-            )
-            hot_ref = ray.put(hot)
-        postings = ds.map_batches(
-            PostingExtractor,
-            fn_constructor_args=(cfg, hot_ref),
+        ds = rd.read_parquet(
+            d_ext, columns=["doc_id", "title", "text"],
+            override_num_blocks=default_parallelism(),
+        )
+        # local index: one compressed run per (term, block) — the raw
+        # (term, doc, positions) rows never cross a shuffle.  Task mode
+        # with a per-worker singleton (no actor-pool startup); state =
+        # stopword set + stem memo, rebuilt cheaply per worker.
+        runs = ds.map_batches(
+            functools.partial(_tokenize_encode_task, cfg=cfg),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
-            concurrency=tuple(cfg.tokenize_concurrency),
         )
-        num_salts = cfg.num_salts if cfg.salt_hot_terms else 1
-        segments = postings.groupby("group_key").map_groups(
-            functools.partial(encode_segment_group, num_salts=num_salts),
-            batch_format="pyarrow",
-        )
-        segments.write_parquet(stage_dir, partition_cols=["bucket"])
+        if cfg.compact_segments:
+            # merge: shuffle only compressed runs, bounded per-term chunks
+            runs = runs.repartition(_shuffle_parts(cfg))
+            runs = runs.groupby("bucket").map_groups(
+                functools.partial(compact_bucket, max_run_docs=cfg.max_run_docs),
+                batch_format="pyarrow",
+            )
+        runs.write_parquet(stage_dir, partition_cols=["bucket"])
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume))
@@ -263,6 +259,7 @@ def build_index(
 
     def _build_lexicon(stage_dir: str) -> int:
         ds = rd.read_parquet(d_seg, columns=["term", "df_run"])
+        ds = ds.repartition(_shuffle_parts(cfg))
         lex = ds.groupby("term").aggregate(Sum("df_run", alias_name="df"))
         lex.write_parquet(stage_dir)
         return _count_parquet(stage_dir)
@@ -277,6 +274,7 @@ def build_index(
         ds = rd.read_parquet(d_seg)
         # explode runs per bucket so df = Σ df_run is complete (all runs
         # of a term share its bucket)
+        ds = ds.repartition(_shuffle_parts(cfg))
         flat = ds.groupby("bucket").map_groups(
             explode_segment_rows, batch_format="pyarrow"
         )
@@ -290,6 +288,7 @@ def build_index(
             ),
             batch_format="pyarrow",
         )
+        flat = flat.repartition(_shuffle_parts(cfg))
         fwd = flat.groupby("doc_bucket").map_groups(
             forward_bucket_group, batch_format="pyarrow"
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
+from web_based_search_engine_ray.util import coalesce
 
 _MERSENNE = (1 << 61) - 1
 
@@ -86,7 +87,7 @@ def exact_dedup(ds, *, num_buckets: int = 64):
         return kept.select(["doc_id", "text_hash"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        coalesce(ds.map_batches(add_hash, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(keep_first, batch_format="pyarrow")
     )
@@ -191,9 +192,11 @@ def jaccard_dup_pairs(
         )
 
     return (
-        ds.map_batches(shingles, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        coalesce(
+            coalesce(ds.map_batches(shingles, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        )
         .groupby("pair_bucket")
         .map_groups(jaccard_in_bucket, batch_format="pyarrow")
     )
@@ -268,52 +271,76 @@ def minhash_lsh_pairs(
     Candidates are deduplicated across bands."""
     rows_per_band = num_perm // bands
 
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "num_perm": num_perm, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    def _minhash_task(batch: pa.Table) -> pa.Table:
+        from web_based_search_engine_ray.util import worker_singleton
+
+        inst = worker_singleton(
+            ("minhash", k, num_perm, seed),
+            lambda: MinHasher(k=k, num_perm=num_perm, seed=seed),
+        )
+        return inst(batch)
+
+    sigs = ds.map_batches(_minhash_task, batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sig_list = batch["signature"].to_pylist()
-        if not sig_list:
+        n = batch.num_rows
+        if n == 0:
             return pa.table(
                 {"band_key": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64()),
                  "signature": pa.array([], pa.list_(pa.int64()))}
             )
-        sigs_np = np.asarray(sig_list, dtype=np.int64)
-        keys, docs, sig_rep = [], [], []
+        sigs_np = np.asarray(batch["signature"].to_pylist(), dtype=np.int64)
+        key_parts = []
+        fnv = np.uint64(1099511628211)
         for band in range(bands):
             seg = sigs_np[:, band * rows_per_band:(band + 1) * rows_per_band]
-            for row, did, full in zip(seg, doc_ids, sig_list):
-                h = hashlib.md5(
-                    band.to_bytes(2, "big") + row.tobytes()
-                ).digest()[:8]
-                keys.append(int.from_bytes(h, "big") >> 1)
-                docs.append(int(did))
-                sig_rep.append(full)
+            key = np.full(n, np.uint64(band * 2 + 1), dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                # FNV-style mixing — deterministic across processes,
+                # wraparound multiply is fine for bucketing
+                key = key * fnv + seg[:, c].astype(np.uint64)
+            key_parts.append((key >> np.uint64(1)).astype(np.int64))
+        idx = pa.array(np.tile(np.arange(n), bands))
+        keys = np.concatenate(key_parts)
         return pa.table(
             {
                 "band_key": pa.array(keys, type=pa.int64()),
-                "doc_id": pa.array(docs, type=pa.int64()),
-                "signature": pa.array(sig_rep, type=pa.list_(pa.int64())),
+                # coarse bucket: one map_groups call per bucket, not per
+                # band_key (band_key cardinality ~ n·bands)
+                "bucket": pa.array(keys % 64, type=pa.int64()),
+                "doc_id": batch["doc_id"].take(idx),
+                "signature": batch["signature"].take(idx),
             }
         )
 
-    def candidates(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
+    def candidates_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        group = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
         docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        multi = ends - starts >= 2
+        if not multi.any():
+            return empty
+        sigs_np = None
+        ii_parts, jj_parts = [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            ii, jj = np.triu_indices(e - s, 1)
+            ii_parts.append(ii + s)
+            jj_parts.append(jj + s)
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
         sigs_np = np.asarray(group["signature"].to_pylist(), dtype=np.int64)
-        ii, jj = np.triu_indices(n, 1)
         est = (sigs_np[ii] == sigs_np[jj]).mean(axis=1)
         a = np.minimum(docs[ii], docs[jj])
         b = np.maximum(docs[ii], docs[jj])
@@ -327,9 +354,9 @@ def minhash_lsh_pairs(
         )
 
     pairs = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(candidates, batch_format="pyarrow")
+        coalesce(sigs.map_batches(band_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(candidates_bucket, batch_format="pyarrow")
     )
 
     # dedup pairs found in multiple bands
@@ -357,7 +384,7 @@ def minhash_lsh_pairs(
         ),
         batch_format="pyarrow",
     )
-    return pairs.groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
+    return coalesce(pairs).groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- SimHash
@@ -398,7 +425,9 @@ class SimHasher:
 
 def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
     """SimHash near-dup pairs: 16-bit band LSH → verify Hamming ≤ t."""
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = ds.map_batches(
+        lambda b: SimHasher()(b), batch_format="pyarrow"
+    )
 
     def band_rows(batch: pa.Table) -> pa.Table:
         docs = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -409,25 +438,42 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
             keys.append(seg.astype(np.int64) * bands + band)
             dids.append(docs)
             full.append(sh.view(np.int64))
+        key = np.concatenate(keys)
         return pa.table(
             {
-                "band_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "band_key": pa.array(key, type=pa.int64()),
+                "bucket": pa.array(key % 64, type=pa.int64()),
                 "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
                 "simhash": pa.array(np.concatenate(full), type=pa.int64()),
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        group = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
         docs = group["doc_id"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ii, jj = np.triu_indices(n, 1)
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        multi = ends - starts >= 2
+        if not multi.any():
+            return empty
+        ii_parts, jj_parts = [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            ii, jj = np.triu_indices(e - s, 1)
+            ii_parts.append(ii + s)
+            jj_parts.append(jj + s)
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
         x = sh[ii] ^ sh[jj]
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
@@ -445,9 +491,9 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
         )
 
     pairs = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pyarrow")
+        coalesce(sigs.map_batches(band_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
     )
 
     def dedup(group: pa.Table) -> pa.Table:
@@ -474,7 +520,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
         ),
         batch_format="pyarrow",
     )
-    return pairs.groupby("pb").map_groups(dedup, batch_format="pyarrow")
+    return coalesce(pairs).groupby("pb").map_groups(dedup, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- embedding near-dup

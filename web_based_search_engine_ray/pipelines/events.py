@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from web_based_search_engine_ray.util import coalesce
+
 
 def hourly_window_agg(ds):
     """Tumbling 1-hour window per event_type: count + sum(value) +
@@ -38,7 +40,7 @@ def hourly_window_agg(ds):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        ds.map_batches(pre, batch_format="pyarrow")
+        coalesce(ds.map_batches(pre, batch_format="pyarrow"))
         .groupby(["window_start", "event_type"])
         .aggregate(
             Sum("n_part", alias_name="n_events"),
@@ -104,7 +106,7 @@ def sessionize(ds, *, gap_minutes: int = 30, num_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        coalesce(ds.map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(sessions, batch_format="pyarrow")
     )
@@ -121,7 +123,7 @@ def top_users_by_value(ds, *, k: int = 20):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        ds.map_batches(pre, batch_format="pyarrow")
+        coalesce(ds.map_batches(pre, batch_format="pyarrow"))
         .groupby("user_id")
         .aggregate(Sum("part", alias_name="total_value"))
     )

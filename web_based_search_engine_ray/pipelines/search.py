@@ -55,11 +55,17 @@ class Searcher:
     """Loads the small artifacts once (lexicon, docstats, meta); posting
     runs and hydration rows are filtered parquet reads."""
 
+    #: max cached terms (decoded posting arrays); the Zipfian query
+    #: distribution makes even a small cache very effective
+    CACHE_TERMS = 65536
+
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         meta = mf.read_json(os.path.join(index_dir, "meta.json"))
         self.n_docs: int = meta["n_docs"]
         self.cfg = IndexConfig(**meta["config"])
+        self._post_cache: dict[str, tuple | None] = {}
+        self._pos_cache: dict[str, dict | None] = {}
 
         lex = pads.dataset(
             os.path.join(index_dir, "lexicon"), format="parquet"
@@ -106,7 +112,16 @@ class Searcher:
         )
 
     def postings(self, term: str):
-        """Merged runs → (doc_ids, title_tfs, body_tfs), doc-sorted."""
+        """Merged runs → (doc_ids, title_tfs, body_tfs), doc-sorted.
+        Decoded arrays are cached per term (bounded)."""
+        if term in self._post_cache:
+            return self._post_cache[term]
+        out = self._postings_uncached(term)
+        if len(self._post_cache) < self.CACHE_TERMS:
+            self._post_cache[term] = out
+        return out
+
+    def _postings_uncached(self, term: str):
         t = self._term_runs(term, ["df_run", "doc_gaps", "title_tfs", "body_tfs"])
         if t.num_rows == 0:
             return None
@@ -124,7 +139,16 @@ class Searcher:
         return ids, ttf, btf
 
     def postings_with_positions(self, term: str):
-        """Merged runs incl. per-doc position arrays (phrase queries)."""
+        """Merged runs incl. per-doc position arrays (phrase queries);
+        cached per term (bounded)."""
+        if term in self._pos_cache:
+            return self._pos_cache[term]
+        out = self._positions_uncached(term)
+        if len(self._pos_cache) < self.CACHE_TERMS:
+            self._pos_cache[term] = out
+        return out
+
+    def _positions_uncached(self, term: str):
         t = self._term_runs(
             term,
             ["doc_gaps", "title_tfs", "body_tfs", "title_pos", "body_pos"],
@@ -367,8 +391,9 @@ def parse_query(q: str) -> tuple[set[str], list[str]]:
 
 
 def batch_search(index_dir: str, queries: list[str], *, k: int = 10,
-                 concurrency=(1, 8)):
-    """Distributed batch search: queries Dataset → actor-pool Searcher."""
+                 concurrency=(1, 8), batch_size: int = 16):
+    """Distributed batch search: queries Dataset → actor-pool Searcher.
+    Small batches so the pool parallelizes even modest query sets."""
     import ray.data as rd
 
     ds = rd.from_items(
@@ -378,6 +403,6 @@ def batch_search(index_dir: str, queries: list[str], *, k: int = 10,
         SearcherPool,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k},
         batch_format="pyarrow",
-        batch_size=64,
+        batch_size=batch_size,
         concurrency=concurrency,
     )

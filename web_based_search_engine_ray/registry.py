@@ -103,19 +103,31 @@ def get_index(sf_dir: str, cfg: IndexConfig) -> str:
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    from web_based_search_engine_ray.util import auto_parallelism
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=auto_parallelism()
+    )
 
 
 def _events(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet")
+    from web_based_search_engine_ray.util import auto_parallelism
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", override_num_blocks=auto_parallelism()
+    )
 
 
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from web_based_search_engine_ray.util import auto_parallelism
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=auto_parallelism()
+    )
 
 
 # ------------------------------------------------------------ query bodies

@@ -101,15 +101,29 @@ def _repeat_batch(batch: pa.Table, repeat: int, stride: int = 10**9) -> pa.Table
     return pa.concat_tables(parts)
 
 
+def default_parallelism() -> int:
+    """2 blocks per CPU so map stages parallelize even when the input is
+    one small parquet file (Ray sizes blocks by bytes, and a test-scale
+    corpus fits one block otherwise)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    except Exception:
+        pass
+    return 8
+
+
 def synth_corpus(sf_dir: str, *, repeat: int = 1, parallelism: int | None = None):
     """Ray Dataset of the synthetic web corpus for a testdata sf dir."""
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=parallelism or default_parallelism(),
     )
-    if parallelism:
-        ds = ds.repartition(parallelism)
     if repeat > 1:
         ds = ds.map_batches(
             lambda b: synth_batch(_repeat_batch(b, repeat)),

@@ -3,17 +3,25 @@
 This is the Ray-Data re-expression of the reference's posting-list
 build (``PostingIndex.addDocument``, ``PostingIndex.java:40-85``): the
 per-document positional postings (positions kept separately for the
-title field and the body field, ``Posting.java:9``) become flat Arrow
-rows ``(term, doc_id, title_positions, body_positions)`` emitted by a
-tokenizer actor pool, shuffled by a *salted term-bucket key* and
-encoded into delta-gap + varbyte compressed segment rows.
+title field and the body field, ``Posting.java:9``) become delta-gap +
+varbyte compressed *segment runs* built with a local-index-then-merge
+plan:
 
-Skew handling (Zipf terms at web scale — SURVEY.md §4): every term
-belongs to a hash ``bucket``; terms in the broadcast *hot set* are
-additionally salted by ``doc_id % num_salts`` so no single shuffle
-group holds a mega-term's full posting list.  A term's posting list is
-therefore stored as one or more *runs* (disjoint doc sets); the query
-side unions runs, and ``df = Σ df_run``.
+1. :class:`TokenizeEncode` (actor pool) tokenizes a block of documents
+   and encodes one posting *run* per term within the block — no shuffle
+   touches raw (term, doc, positions) rows;
+2. ``compact_bucket`` merges the compressed runs per term inside a
+   term-hash-bucket groupby — the only term shuffle moves already
+   compressed bytes.  Skew handling (Zipf head at web scale,
+   SURVEY.md §4): a term's merged list is re-chunked into runs of at
+   most ``max_run_docs`` docs, so no task ever materializes a
+   mega-term's full posting list; the query side unions runs and
+   df = Σ df_run.
+
+The segment row schema is shared by both stages; all runs of a term
+carry the same ``bucket`` (hash(term) % num_buckets), which the forward
+/docstats derivation relies on (all runs of a term meet in one bucket
+group, so Σ df_run there is the global df).
 """
 
 from __future__ import annotations
@@ -43,65 +51,54 @@ SEGMENT_SCHEMA = pa.schema(
 
 
 class PostingExtractor:
-    """Actor-pool stage: documents → flat positional posting rows.
+    """Actor-pool stage: documents → flat positional posting rows
+    (``term, doc_id, title_positions, body_positions``).
 
-    ``__init__`` holds the per-actor state (stopword set, compiled
-    regex, broadcast hot-term set) — once per actor, not per batch.
+    ``__init__`` holds per-actor state (stopword set, compiled regex) —
+    once per actor, not per batch.
     """
 
-    def __init__(
-        self,
-        cfg: IndexConfig,
-        hot_terms_ref=None,
-    ):
+    #: bound on the per-actor token→stem memo (Zipf vocabulary ⇒ the
+    #: working set is tiny; the cap only guards pathological inputs)
+    MEMO_CAP = 1_000_000
+
+    def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
         self.stops = stopword_set() if cfg.use_stopwords else frozenset()
         self.re = TOKEN_RE
-        if hot_terms_ref is not None:
-            import ray
-
-            self.hot_terms = ray.get(hot_terms_ref)
-        else:
-            self.hot_terms = frozenset()
-        # term → bucket cache (vocabulary is Zipfian: tiny working set)
-        self._bucket_cache: dict[str, int] = {}
+        self._memo: dict[str, str | None] = {}
 
     def _analyze(self, text: str) -> list[str]:
         cfg = self.cfg
+        memo = self._memo
         out = []
         for tok in self.re.split(text):
             if not tok:
                 continue
-            w = stem_word(
-                tok,
-                use_stopwords=cfg.use_stopwords,
-                use_stemming=cfg.use_stemming,
-                _stops=self.stops,
-            )
+            if tok in memo:
+                w = memo[tok]
+            else:
+                w = stem_word(
+                    tok,
+                    use_stopwords=cfg.use_stopwords,
+                    use_stemming=cfg.use_stemming,
+                    _stops=self.stops,
+                )
+                if len(memo) < self.MEMO_CAP:
+                    memo[tok] = w
             if w is not None:
                 out.append(w)
         return out
 
-    def _bucket(self, term: str) -> int:
-        b = self._bucket_cache.get(term)
-        if b is None:
-            b = stable_hash63(term) % self.cfg.num_buckets
-            self._bucket_cache[term] = b
-        return b
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        num_salts = cfg.num_salts if cfg.salt_hot_terms else 1
+    def extract(self, batch: pa.Table):
+        """→ (terms list, doc_ids, title_pos lists, body_pos lists)."""
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         titles = batch["title"].to_pylist()
         texts = batch["text"].to_pylist()
-
         terms: list[str] = []
         out_doc: list[int] = []
         tpos: list[list[int]] = []
         bpos: list[list[int]] = []
-        group_keys: list[int] = []
-
         for doc_id, title, text in zip(doc_ids, titles, texts):
             doc_id = int(doc_id)
             acc: dict[str, tuple[list[int], list[int]]] = {}
@@ -114,12 +111,12 @@ class PostingExtractor:
                 out_doc.append(doc_id)
                 tpos.append(tl)
                 bpos.append(bl)
-                salt = (doc_id % num_salts) if term in self.hot_terms else 0
-                group_keys.append(self._bucket(term) * num_salts + salt)
+        return terms, out_doc, tpos, bpos
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms, out_doc, tpos, bpos = self.extract(batch)
         return pa.table(
             {
-                "group_key": pa.array(group_keys, type=pa.int64()),
                 "term": pa.array(terms, type=pa.string()),
                 "doc_id": pa.array(out_doc, type=pa.int64()),
                 "title_positions": pa.array(tpos, type=pa.list_(pa.int32())),
@@ -128,73 +125,13 @@ class PostingExtractor:
         )
 
 
-def _list_column_parts(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat_values, lengths) of a list<int32> column."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    # account for a possible non-zero offset slice
-    values = values[offsets[0]: offsets[-1]]
-    offsets = offsets - offsets[0]
-    lengths = np.diff(offsets)
-    return values, lengths
-
-
-def encode_segment_group(group: pa.Table, *, num_salts: int) -> pa.Table:
-    """``map_groups`` body for one (bucket, salt) shuffle group: encode
-    every term's run in the group into one segment row.
-
-    Replaces the reference's per-term sorted ``List<Posting>``
-    (binary-search insertion, ``PostingIndex.java:66-84``) with a single
-    sort + vectorized delta/varbyte encode per term.
-    """
-    if group.num_rows == 0:
-        return SEGMENT_SCHEMA.empty_table()
-    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-    terms = np.asarray(group["term"])
-    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    tflat, tlens = _list_column_parts(group["title_positions"])
-    bflat, blens = _list_column_parts(group["body_positions"])
-    toffsets = np.concatenate(([0], np.cumsum(tlens)))
-    boffsets = np.concatenate(([0], np.cumsum(blens)))
-
-    uniq, starts = np.unique(terms, return_index=True)
-    order = np.argsort(starts)
-    uniq, starts = uniq[order], starts[order]
-    ends = np.concatenate((starts[1:], [len(terms)]))
-
-    group_key = int(group["group_key"][0].as_py())
-    bucket = group_key // num_salts
-    run = group_key % num_salts
-
-    rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
-                            "body_tfs", "title_pos", "body_pos")}
-    for term, s, e in zip(uniq, starts, ends):
-        ids = doc_ids[s:e]
-        if np.unique(ids).size != ids.size:
-            # duplicate (term, doc) is an upstream bug (the reference
-            # treats it as an error, PostingIndex.java:76-80)
-            raise ValueError(f"duplicate posting for term {term!r}")
-        ttfs = tlens[s:e]
-        btfs = blens[s:e]
-        rows["term"].append(str(term))
-        rows["df_run"].append(int(e - s))
-        rows["doc_gaps"].append(codec.encode_sorted(ids))
-        rows["title_tfs"].append(codec.varbyte_encode(ttfs.astype(np.uint64)))
-        rows["body_tfs"].append(codec.varbyte_encode(btfs.astype(np.uint64)))
-        rows["title_pos"].append(
-            codec.encode_concat_positions(tflat[toffsets[s]:toffsets[e]], ttfs)
-        )
-        rows["body_pos"].append(
-            codec.encode_concat_positions(bflat[boffsets[s]:boffsets[e]], btfs)
-        )
-
+def _segment_table(rows: dict[str, list], buckets, runs) -> pa.Table:
     n = len(rows["term"])
     return pa.table(
         {
-            "bucket": pa.array([bucket] * n, type=pa.int32()),
+            "bucket": pa.array(buckets, type=pa.int32()),
             "term": pa.array(rows["term"], type=pa.string()),
-            "run": pa.array([run] * n, type=pa.int32()),
+            "run": pa.array(runs, type=pa.int32()),
             "df_run": pa.array(rows["df_run"], type=pa.int64()),
             "doc_gaps": pa.array(rows["doc_gaps"], type=pa.binary()),
             "title_tfs": pa.array(rows["title_tfs"], type=pa.binary()),
@@ -203,16 +140,174 @@ def encode_segment_group(group: pa.Table, *, num_salts: int) -> pa.Table:
             "body_pos": pa.array(rows["body_pos"], type=pa.binary()),
         },
         schema=SEGMENT_SCHEMA,
-    )
+    ) if n else SEGMENT_SCHEMA.empty_table()
+
+
+class TokenizeEncode(PostingExtractor):
+    """Actor-pool stage: documents block → one compressed posting run
+    per term in the block (``SEGMENT_SCHEMA`` rows).  The reference's
+    binary-search posting insertion (``PostingIndex.java:66-84``)
+    becomes one sort + vectorized delta/varbyte encode per term."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms, out_doc, tpos, bpos = self.extract(batch)
+        if not terms:
+            return SEGMENT_SCHEMA.empty_table()
+        terms_np = np.asarray(terms, dtype=object)
+        docs_np = np.asarray(out_doc, dtype=np.int64)
+        order = np.lexsort((docs_np, terms_np))
+        terms_np, docs_np = terms_np[order], docs_np[order]
+        tpos = [tpos[i] for i in order]
+        bpos = [bpos[i] for i in order]
+
+        new_term = np.ones(len(terms_np), dtype=bool)
+        new_term[1:] = terms_np[1:] != terms_np[:-1]
+        starts = np.flatnonzero(new_term)
+        ends = np.concatenate((starts[1:], [len(terms_np)]))
+
+        rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
+                                "body_tfs", "title_pos", "body_pos")}
+        buckets = []
+        nb = self.cfg.num_buckets
+        for s, e in zip(starts, ends):
+            term = str(terms_np[s])
+            ids = docs_np[s:e]
+            ttfs = np.fromiter((len(x) for x in tpos[s:e]), np.int64, e - s)
+            btfs = np.fromiter((len(x) for x in bpos[s:e]), np.int64, e - s)
+            tflat = (
+                np.concatenate([np.asarray(x, np.int64) for x in tpos[s:e]])
+                if ttfs.sum() else np.empty(0, np.int64)
+            )
+            bflat = (
+                np.concatenate([np.asarray(x, np.int64) for x in bpos[s:e]])
+                if btfs.sum() else np.empty(0, np.int64)
+            )
+            rows["term"].append(term)
+            rows["df_run"].append(int(e - s))
+            rows["doc_gaps"].append(codec.encode_sorted(ids))
+            rows["title_tfs"].append(codec.varbyte_encode(ttfs.astype(np.uint64)))
+            rows["body_tfs"].append(codec.varbyte_encode(btfs.astype(np.uint64)))
+            rows["title_pos"].append(codec.encode_concat_positions(tflat, ttfs))
+            rows["body_pos"].append(codec.encode_concat_positions(bflat, btfs))
+            buckets.append(stable_hash63(term) % nb)
+        run0 = int(docs_np[0] % (1 << 30))
+        return _segment_table(rows, buckets, [run0] * len(buckets))
+
+
+def compact_bucket(group: pa.Table, *, max_run_docs: int) -> pa.Table:
+    """``map_groups`` body for one term-hash bucket: merge each term's
+    compressed runs into doc-sorted runs of ≤ ``max_run_docs`` docs.
+    Single-run terms (the Zipf tail — the vast majority) pass through
+    without decoding."""
+    if group.num_rows == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    terms_np = np.asarray(group["term"])
+    order = np.argsort(terms_np, kind="stable")
+    terms_np = terms_np[order]
+    new_term = np.ones(len(terms_np), dtype=bool)
+    new_term[1:] = terms_np[1:] != terms_np[:-1]
+    starts = np.flatnonzero(new_term)
+    ends = np.concatenate((starts[1:], [len(terms_np)]))
+
+    passthrough_idx = []
+    rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
+                            "body_tfs", "title_pos", "body_pos")}
+    buckets, runs = [], []
+    bucket = int(group["bucket"][0].as_py())
+
+    cols = {
+        name: group[name] for name in
+        ("doc_gaps", "title_tfs", "body_tfs", "title_pos", "body_pos", "df_run")
+    }
+    for s, e in zip(starts, ends):
+        idxs = order[s:e]
+        if e - s == 1:
+            passthrough_idx.append(int(idxs[0]))
+            continue
+        term = str(terms_np[s])
+        ids_parts, ttf_parts, btf_parts = [], [], []
+        tpos_parts, bpos_parts = [], []
+        for i in idxs:
+            i = int(i)
+            ids = codec.decode_sorted(cols["doc_gaps"][i].as_py())
+            ttfs = codec.varbyte_decode(cols["title_tfs"][i].as_py()).astype(np.int64)
+            btfs = codec.varbyte_decode(cols["body_tfs"][i].as_py()).astype(np.int64)
+            tflat = codec.decode_concat_positions(cols["title_pos"][i].as_py(), ttfs)
+            bflat = codec.decode_concat_positions(cols["body_pos"][i].as_py(), btfs)
+            ids_parts.append(ids)
+            ttf_parts.append(ttfs)
+            btf_parts.append(btfs)
+            tpos_parts.append((tflat, ttfs))
+            bpos_parts.append((bflat, btfs))
+        ids = np.concatenate(ids_parts)
+        sort = np.argsort(ids, kind="stable")
+        ids = ids[sort]
+        ttfs = np.concatenate(ttf_parts)[sort]
+        btfs = np.concatenate(btf_parts)[sort]
+        tflat = _reorder_concat(tpos_parts, sort)
+        bflat = _reorder_concat(bpos_parts, sort)
+        # chunk into bounded runs
+        toff = np.concatenate(([0], np.cumsum(ttfs)))
+        boff = np.concatenate(([0], np.cumsum(btfs)))
+        for chunk, cs in enumerate(range(0, len(ids), max_run_docs)):
+            ce = min(cs + max_run_docs, len(ids))
+            rows["term"].append(term)
+            rows["df_run"].append(int(ce - cs))
+            rows["doc_gaps"].append(codec.encode_sorted(ids[cs:ce]))
+            rows["title_tfs"].append(
+                codec.varbyte_encode(ttfs[cs:ce].astype(np.uint64))
+            )
+            rows["body_tfs"].append(
+                codec.varbyte_encode(btfs[cs:ce].astype(np.uint64))
+            )
+            rows["title_pos"].append(
+                codec.encode_concat_positions(
+                    tflat[toff[cs]:toff[ce]], ttfs[cs:ce]
+                )
+            )
+            rows["body_pos"].append(
+                codec.encode_concat_positions(
+                    bflat[boff[cs]:boff[ce]], btfs[cs:ce]
+                )
+            )
+            buckets.append(bucket)
+            runs.append(chunk)
+
+    merged = _segment_table(rows, buckets, runs)
+    if passthrough_idx:
+        kept = group.take(pa.array(passthrough_idx, type=pa.int64()))
+        kept = kept.select([f.name for f in SEGMENT_SCHEMA])
+        kept = kept.cast(SEGMENT_SCHEMA)
+        merged = (
+            pa.concat_tables([kept, merged]) if merged.num_rows else kept
+        )
+    return merged
+
+
+def _reorder_concat(parts: list[tuple[np.ndarray, np.ndarray]], sort: np.ndarray) -> np.ndarray:
+    """Reorder concatenated variable-length position lists by the
+    doc-level permutation ``sort``.  ``parts`` = [(flat, lengths)...]"""
+    flat = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    lens = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    if flat.size == 0:
+        return flat
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out = np.empty_like(flat)
+    pos = 0
+    for i in sort:
+        ln = int(lens[i])
+        out[pos:pos + ln] = flat[offsets[i]:offsets[i] + ln]
+        pos += ln
+    return out
 
 
 def explode_segment_rows(batch: pa.Table) -> pa.Table:
-    """Segment rows → flat ``(doc_id, term, title_tf, body_tf, df_run)``.
+    """Segment rows → flat ``(doc_id, term, title_tf, body_tf, df)``.
 
     Used to derive the forward index / doc stats from the already-built
-    segments without re-tokenizing.  ``df_run`` is summed to the true df
-    by the downstream per-bucket aggregation (all runs of a term share a
-    bucket).
+    segments without re-tokenizing.  MUST be called on one whole bucket
+    (all runs of a term share its bucket), so the per-term Σ df_run here
+    is the global df.
     """
     doc_parts, term_parts, ttf_parts, btf_parts = [], [], [], []
     for i in range(batch.num_rows):
@@ -237,9 +332,6 @@ def explode_segment_rows(batch: pa.Table) -> pa.Table:
     terms = pa.concat_arrays(
         [c for c in batch["term"].chunks]
     ).take(pa.array(row_idx))
-    # df per term: sum df_run over the batch.  A batch is one whole
-    # bucket (explode runs inside groupby("bucket"), see build_index),
-    # so all runs of a term are present and the sum is the global df.
     term_strs = np.asarray(batch["term"])
     df_runs = batch["df_run"].to_numpy(zero_copy_only=False)
     uniq, inv = np.unique(term_strs, return_inverse=True)
@@ -255,6 +347,17 @@ def explode_segment_rows(batch: pa.Table) -> pa.Table:
             "df": pa.array(df_per_row[row_idx], type=pa.int64()),
         }
     )
+
+
+def _list_column_parts(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values, lengths) of a list<intN> column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = values[offsets[0]: offsets[-1]]
+    offsets = offsets - offsets[0]
+    lengths = np.diff(offsets)
+    return values, lengths
 
 
 def forward_bucket_group(group: pa.Table) -> pa.Table:

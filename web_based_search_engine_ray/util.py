@@ -1,0 +1,58 @@
+"""Small shared helpers for pipeline parallelism.
+
+Ray sizes read blocks by bytes, so test-scale inputs collapse to one
+block (serializing map stages), while sort-shuffle cost grows with
+block count (penalizing many tiny blocks).  Pipelines therefore
+(a) split reads to ``auto_parallelism()`` blocks and (b) coalesce to
+``shuffle_parallelism()`` blocks right before a groupby.  At real
+cluster scale block counts are byte-driven and these become no-ops by
+configuration (see ``IndexConfig.shuffle_partitions``).
+"""
+
+from __future__ import annotations
+
+
+def _cpus() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(4, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        pass
+    return 4
+
+
+def auto_parallelism() -> int:
+    """Blocks for reads/maps: 2 per CPU."""
+    return _cpus() * 2
+
+
+def shuffle_parallelism() -> int:
+    """Blocks going INTO a groupby: 1 per CPU (sort-shuffle overhead
+    scales with block count)."""
+    return max(8, _cpus())
+
+
+def coalesce(ds, n: int | None = None):
+    """Repartition a dataset ahead of a shuffle."""
+    return ds.repartition(n or shuffle_parallelism())
+
+
+_WORKER_SINGLETONS: dict = {}
+
+
+def worker_singleton(key, factory):
+    """Per-worker-process lazy singleton for map_batches TASK stages.
+
+    Ray reuses worker processes across tasks, so a module-level cache
+    gives actor-style state amortization (compiled regexes, stopword
+    sets, memo tables) without paying actor-pool startup.  Use a real
+    actor pool instead when state must NOT be rebuilt per worker
+    (large models) or needs strict lifecycle control.
+    """
+    inst = _WORKER_SINGLETONS.get(key)
+    if inst is None:
+        inst = factory()
+        _WORKER_SINGLETONS[key] = inst
+    return inst
