@@ -82,6 +82,11 @@ def run_bench() -> dict:
     rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
     rd.read_parquet(f"{SF_DIR}/events.parquet").count()
     rd.read_parquet(f"{SF_DIR}/embeddings.parquet").count()
+    # spawn the full worker pool up front so worker startup isn't
+    # attributed to the first timed stage
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     # fixed-size pools: autoscaling ramps from 1 and wastes the whole
     # stage at bench scale

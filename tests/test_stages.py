@@ -1,0 +1,221 @@
+"""Unit tests for stage bodies: run compaction, forward derivation,
+events, dedup — checked against brute-force implementations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from web_based_search_engine_ray.config import IndexConfig
+from web_based_search_engine_ray.stages import codec
+from web_based_search_engine_ray.stages.postings import (
+    TokenizeEncode,
+    compact_bucket,
+)
+
+
+def _mk_batch(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "title": pa.array([r[1] for r in rows], type=pa.string()),
+            "text": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+
+
+def _decode_rows(seg: pa.Table):
+    """segment rows → {term: {doc: (ttf, btf, tpos, bpos)}}"""
+    out: dict = {}
+    for i in range(seg.num_rows):
+        term = seg["term"][i].as_py()
+        ids = codec.decode_sorted(seg["doc_gaps"][i].as_py())
+        ttfs = codec.varbyte_decode(seg["title_tfs"][i].as_py()).astype(np.int64)
+        btfs = codec.varbyte_decode(seg["body_tfs"][i].as_py()).astype(np.int64)
+        tflat = codec.decode_concat_positions(seg["title_pos"][i].as_py(), ttfs)
+        bflat = codec.decode_concat_positions(seg["body_pos"][i].as_py(), btfs)
+        toff = np.concatenate(([0], np.cumsum(ttfs)))
+        boff = np.concatenate(([0], np.cumsum(btfs)))
+        d = out.setdefault(term, {})
+        for j, doc in enumerate(ids):
+            assert int(doc) not in d, f"duplicate doc {doc} for {term}"
+            d[int(doc)] = (
+                int(ttfs[j]),
+                int(btfs[j]),
+                tflat[toff[j]:toff[j + 1]].tolist(),
+                bflat[boff[j]:boff[j + 1]].tolist(),
+            )
+    return out
+
+
+CFG = IndexConfig(use_stemming=False, use_stopwords=False, num_buckets=1)
+
+
+def test_tokenize_encode_roundtrip():
+    enc = TokenizeEncode(CFG)
+    seg = enc(_mk_batch([
+        (1, "alpha beta", "alpha gamma alpha"),
+        (2, "", "beta beta"),
+    ]))
+    decoded = _decode_rows(seg)
+    assert decoded["alpha"][1] == (1, 2, [0], [0, 2])
+    assert decoded["beta"][1] == (1, 0, [1], [])
+    assert decoded["beta"][2] == (0, 2, [], [0, 1])
+    assert decoded["gamma"][1] == (0, 1, [], [1])
+
+
+def test_compact_merges_runs_across_blocks():
+    enc = TokenizeEncode(CFG)
+    # same terms split across two blocks, unordered doc ids
+    seg1 = enc(_mk_batch([(5, "x", "x y"), (1, "", "y")]))
+    seg2 = enc(_mk_batch([(3, "x x", "z x")]))
+    both = pa.concat_tables([seg1, seg2])
+    compacted = compact_bucket(both, max_run_docs=1000, num_buckets=1)
+    decoded = _decode_rows(compacted)
+    assert sorted(decoded["x"].keys()) == [3, 5]
+    assert decoded["x"][3] == (2, 1, [0, 1], [1])
+    assert decoded["x"][5] == (1, 1, [0], [0])
+    assert sorted(decoded["y"].keys()) == [1, 5]
+    # x appears in 2 runs pre-compaction, 1 run after
+    x_rows = compacted.filter(
+        pa.compute.equal(compacted["term"], "x")
+    )
+    assert x_rows.num_rows == 1
+    assert x_rows["df_run"][0].as_py() == 2
+
+
+def test_compact_chunks_hot_terms():
+    enc = TokenizeEncode(CFG)
+    segs = [
+        enc(_mk_batch([(d, "", "hot") for d in range(b * 10, b * 10 + 10)]))
+        for b in range(4)
+    ]
+    compacted = compact_bucket(
+        pa.concat_tables(segs), max_run_docs=15, num_buckets=1
+    )
+    assert compacted.num_rows == 3  # 40 docs / 15 per run
+    assert sum(compacted["df_run"].to_pylist()) == 40
+    decoded = _decode_rows(compacted)
+    assert sorted(decoded["hot"].keys()) == list(range(40))
+
+
+def test_sessionize_matches_bruteforce(ray_session, sf_dir):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.events import sessionize
+
+    got = (
+        sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts"]
+    )
+    rows = []
+    for uid, grp in ev.groupby("user_id"):
+        cur = None
+        for _, r in grp.iterrows():
+            if cur is None or (r["ts"] - cur["end"]).total_seconds() > 1800:
+                if cur:
+                    rows.append(cur)
+                cur = {"user_id": uid, "start": r["ts"], "end": r["ts"],
+                       "n": 1, "sum": r["value"]}
+            else:
+                cur["end"] = r["ts"]
+                cur["n"] += 1
+                cur["sum"] += r["value"]
+        if cur:
+            rows.append(cur)
+    exp = pd.DataFrame(rows).sort_values(["user_id", "start"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum_value"], exp["sum"], rtol=1e-9)
+
+
+def test_exact_dedup_keeps_min_doc_id(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 2, 9], type=pa.int64()),
+            "text": pa.array(["a", "b", "a", "b", "c"]),
+        }
+    )
+    kept = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [1, 3, 9]
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        MinHasher,
+        _shingle_hashes,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra"
+    far = "completely different words nothing shared here at all whatsoever ok"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([base, near, far]),
+        }
+    )
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(t), threshold=0.3
+    ).to_pandas()
+    assert {(1, 2)} == set(zip(pairs["doc_a"], pairs["doc_b"]))
+    est = pairs["est_jaccard"].iloc[0]
+    a = set(_shingle_hashes(base, 3).tolist())
+    b = set(_shingle_hashes(near, 3).tolist())
+    true_j = len(a & b) / len(a | b)
+    assert abs(est - true_j) < 0.25  # 64 permutations → coarse estimate
+
+
+def test_media_pipeline_schema(ray_session, sf_dir):
+    from web_based_search_engine_ray.pipelines.multimodal import (
+        FEATURE_DIM,
+        media_pipeline,
+    )
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    out = media_pipeline(
+        synth_corpus(sf_dir).select_columns(["doc_id", "html"]).limit(20),
+        payload_col="html",
+        batch_size=8,
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert len(out) == 20
+    assert "html" not in out.columns  # heavy payload dropped
+    assert len(out["features"].iloc[0]) == FEATURE_DIM
+    # determinism
+    out2 = media_pipeline(
+        synth_corpus(sf_dir).select_columns(["doc_id", "html"]).limit(20),
+        payload_col="html",
+        batch_size=8,
+        concurrency=(1, 2),
+    ).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["width"]))
+    m2 = dict(zip(out2["doc_id"], out2["width"]))
+    assert m1 == m2
+
+
+def test_media_strict_mode_raises():
+    from web_based_search_engine_ray.pipelines.multimodal import (
+        MediaFeatureExtractor,
+    )
+
+    ex = MediaFeatureExtractor(payload_col="p", mode="strict")
+    batch = pa.table({"p": pa.array([b"bytes"], type=pa.binary())})
+    with pytest.raises(NotImplementedError):
+        ex(batch)

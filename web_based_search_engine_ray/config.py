@@ -44,6 +44,11 @@ class IndexConfig:
     # full posting list; query unions runs (df = Σ df_run).
     compact_segments: bool = True
     max_run_docs: int = 5_000_000
+    # Document partitioning (web-search-style doc-partitioned index):
+    # segments are additionally partitioned by doc_id % doc_shards, so a
+    # query can scatter-gather over per-shard searchers each holding
+    # only its shard's postings + doc stats.  1 = single partition.
+    doc_shards: int = 1
     # Shuffle parallelism: groupby inputs are coalesced to this many
     # blocks first (None = 2 × cluster CPUs).  Ray's sort shuffle cost
     # scales with block count, which at test scale is dominated by
@@ -63,6 +68,7 @@ class IndexConfig:
             "num_buckets": self.num_buckets,
             "compact_segments": self.compact_segments,
             "max_run_docs": self.max_run_docs,
+            "doc_shards": self.doc_shards,
         }
         return hashlib.md5(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:12]
 

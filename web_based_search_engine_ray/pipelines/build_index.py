@@ -242,13 +242,21 @@ def build_index(
             batch_size=cfg.tokenize_batch_size,
         )
         if cfg.compact_segments:
-            # merge: shuffle only compressed runs, bounded per-term chunks
+            # merge: shuffle only compressed runs, bounded per-term
+            # chunks, grouped per (doc_shard, bucket)
             runs = runs.repartition(_shuffle_parts(cfg))
-            runs = runs.groupby("bucket").map_groups(
-                functools.partial(compact_bucket, max_run_docs=cfg.max_run_docs),
+            runs = runs.groupby("part_key").map_groups(
+                functools.partial(
+                    compact_bucket,
+                    max_run_docs=cfg.max_run_docs,
+                    num_buckets=cfg.num_buckets,
+                ),
                 batch_format="pyarrow",
             )
-        runs.write_parquet(stage_dir, partition_cols=["bucket"])
+        partition_cols = (
+            ["doc_shard", "bucket"] if cfg.doc_shards > 1 else ["bucket"]
+        )
+        runs.write_parquet(stage_dir, partition_cols=partition_cols)
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume))

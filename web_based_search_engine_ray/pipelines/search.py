@@ -59,8 +59,14 @@ class Searcher:
     #: distribution makes even a small cache very effective
     CACHE_TERMS = 65536
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, doc_shard: int | None = None):
+        """``doc_shard``: restrict scoring/phrase state to one document
+        shard (doc-partitioned index, ``IndexConfig.doc_shards``) — the
+        per-node deployment unit at web scale.  ``None`` = whole index.
+        Global statistics (lexicon df, N) are always loaded in full;
+        only postings + doc stats are shard-local."""
         self.index_dir = index_dir
+        self.doc_shard = doc_shard
         meta = mf.read_json(os.path.join(index_dir, "meta.json"))
         self.n_docs: int = meta["n_docs"]
         self.cfg = IndexConfig(**meta["config"])
@@ -77,6 +83,12 @@ class Searcher:
         stats = pads.dataset(
             os.path.join(index_dir, "docstats"), format="parquet"
         ).to_table().sort_by("doc_id")
+        if doc_shard is not None:
+            n_shards = max(1, self.cfg.doc_shards)
+            ids = stats["doc_id"].to_numpy(zero_copy_only=False)
+            stats = stats.filter(
+                pa.array(ids % n_shards == doc_shard)
+            )
         self._stat_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
         self._tf_max = stats["tf_max"].to_numpy(zero_copy_only=False).astype(np.float64)
         self._norm = stats["doc_len_norm"].to_numpy(zero_copy_only=False)
@@ -106,10 +118,10 @@ class Searcher:
 
     def _term_runs(self, term: str, columns: list[str]) -> pa.Table:
         bucket = stable_hash63(term) % self.cfg.num_buckets
-        return self._segments.to_table(
-            columns=columns,
-            filter=(pc.field("bucket") == bucket) & (pc.field("term") == term),
-        )
+        flt = (pc.field("bucket") == bucket) & (pc.field("term") == term)
+        if self.doc_shard is not None:
+            flt = flt & (pc.field("doc_shard") == self.doc_shard)
+        return self._segments.to_table(columns=columns, filter=flt)
 
     def postings(self, term: str):
         """Merged runs → (doc_ids, title_tfs, body_tfs), doc-sorted.
@@ -138,9 +150,17 @@ class Searcher:
             ids, ttf, btf = ids[order], ttf[order], btf[order]
         return ids, ttf, btf
 
+    #: bits reserved for the in-document position in a phrase key
+    POS_BITS = 22
+
     def postings_with_positions(self, term: str):
-        """Merged runs incl. per-doc position arrays (phrase queries);
-        cached per term (bounded)."""
+        """Phrase-match representation of a term's postings: a pair of
+        sorted int64 key arrays (title_keys, body_keys) with
+        ``key = doc_ordinal << POS_BITS | position`` (doc ordinal =
+        index into the sorted docstats ids).  The non-associative
+        left-fold intersection then runs entirely as vectorized
+        ``np.intersect1d`` over sorted keys — advancing the prefix's
+        positions by +1 is literally ``keys + 1``.  Cached per term."""
         if term in self._pos_cache:
             return self._pos_cache[term]
         out = self._positions_uncached(term)
@@ -155,30 +175,34 @@ class Searcher:
         )
         if t.num_rows == 0:
             return None
-        ids_parts, ttf_parts, btf_parts = [], [], []
-        tpos_parts, bpos_parts = [], []
+        tkey_parts, bkey_parts = [], []
+        shift = np.int64(self.POS_BITS)
+        limit = 1 << self.POS_BITS
         for i in range(t.num_rows):
             ids = codec.decode_sorted(t["doc_gaps"][i].as_py())
             ttfs = codec.varbyte_decode(t["title_tfs"][i].as_py()).astype(np.int64)
             btfs = codec.varbyte_decode(t["body_tfs"][i].as_py()).astype(np.int64)
             tflat = codec.decode_concat_positions(t["title_pos"][i].as_py(), ttfs)
             bflat = codec.decode_concat_positions(t["body_pos"][i].as_py(), btfs)
-            ids_parts.append(ids)
-            ttf_parts.append(ttfs)
-            btf_parts.append(btfs)
-            toff = np.concatenate(([0], np.cumsum(ttfs)))
-            boff = np.concatenate(([0], np.cumsum(btfs)))
-            tpos_parts.extend(
-                tflat[toff[j]:toff[j + 1]] for j in range(len(ids))
+            if (tflat.size and tflat.max() >= limit - 1) or (
+                bflat.size and bflat.max() >= limit - 1
+            ):
+                raise ValueError(
+                    f"document position exceeds 2^{self.POS_BITS}"
+                )
+            ordinals = np.searchsorted(self._stat_ids, ids)
+            tkey_parts.append(
+                (np.repeat(ordinals, ttfs) << shift) | tflat
             )
-            bpos_parts.extend(
-                bflat[boff[j]:boff[j + 1]] for j in range(len(ids))
+            bkey_parts.append(
+                (np.repeat(ordinals, btfs) << shift) | bflat
             )
-        ids = np.concatenate(ids_parts)
-        order = np.argsort(ids, kind="stable")
-        return {
-            int(ids[j]): (tpos_parts[j], bpos_parts[j]) for j in order
-        }
+        tkeys = np.concatenate(tkey_parts)
+        bkeys = np.concatenate(bkey_parts)
+        if len(tkey_parts) > 1:
+            tkeys.sort()
+            bkeys.sort()
+        return tkeys, bkeys
 
     # ------------------------------------------------------------------ score
     def scores(self, words) -> dict[int, float]:
@@ -215,18 +239,27 @@ class Searcher:
     # ----------------------------------------------------------------- phrase
     def documents_with_phrase(self, phrase: list[str]) -> set[int]:
         """Left-fold positional merge (non-associative, order preserved —
-        ``PostingIndex.java:230-247``)."""
+        ``PostingIndex.java:230-247``): per field, advance the prefix's
+        position keys by +1 and intersect with the next word's keys; a
+        doc survives while either field retains a position."""
         terms = [w for w in (self.stem_query_word(x) for x in phrase) if w]
         if not terms:
             return set()
+        empty = np.empty(0, dtype=np.int64)
         lists = []
         for term in terms:
             p = self.postings_with_positions(term)
-            lists.append(p if p is not None else {})
-        merged = lists[0]
-        for cur in lists[1:]:
-            merged = _merge_phrase(merged, cur)
-        return set(merged.keys())
+            lists.append(p if p is not None else (empty, empty))
+        tkeys, bkeys = lists[0]
+        for ct, cb in lists[1:]:
+            tkeys = np.intersect1d(tkeys + 1, ct, assume_unique=True)
+            bkeys = np.intersect1d(bkeys + 1, cb, assume_unique=True)
+            if not tkeys.size and not bkeys.size:
+                return set()
+        ordinals = np.unique(
+            np.concatenate((tkeys, bkeys)) >> np.int64(self.POS_BITS)
+        )
+        return set(self._stat_ids[ordinals].tolist())
 
     # ------------------------------------------------------------------ query
     def search(
@@ -321,30 +354,72 @@ class Searcher:
         return pd.DataFrame(rows)
 
 
-def _merge_phrase(prev: dict, cur: dict) -> dict:
-    """``PostingIndex.mergePhrase`` (``PostingIndex.java:184-220``):
-    advance the accumulated prefix's positions by +1 and intersect with
-    the next word's positions, per field; keep docs where either field
-    intersection is non-empty."""
-    out = {}
-    if len(cur) < len(prev):
-        items = ((d, prev[d], cur[d]) for d in cur if d in prev)
-    else:
-        items = ((d, p, cur[d]) for d, p in prev.items() if d in cur)
-    for d, (pt, pb), (ct, cb) in items:
-        nt = np.intersect1d(pt + 1, ct, assume_unique=True)
-        nb = np.intersect1d(pb + 1, cb, assume_unique=True)
-        if nt.size or nb.size:
-            out[d] = (nt, nb)
-    return out
-
-
 def _empty_results(hydrate: bool) -> pd.DataFrame:
     cols = ["doc_id", "score"]
     if hydrate:
         cols += ["title", "url", "last_modified", "page_size", "keywords",
                  "parent_links", "child_links"]
     return pd.DataFrame(columns=cols)
+
+
+class ShardedSearcher:
+    """Scatter-gather search over a doc-partitioned index
+    (``IndexConfig.doc_shards`` > 1) — the 10^12-doc deployment shape:
+    one ``Searcher`` actor per document shard, each holding only its
+    shard's doc stats and reading only its segment partition; a query
+    fans out, every shard returns its top-k, and the driver merges
+    (scores are per-doc independent, so the merged top-k is exact).
+
+    This is one of the few places raw Ray actors are justified: the
+    sharded, long-lived, randomly-accessed searcher state is not
+    expressible as a Dataset transform.
+    """
+
+    def __init__(self, index_dir: str, *, num_cpus_per_shard: float = 1):
+        import ray
+
+        meta = mf.read_json(os.path.join(index_dir, "meta.json"))
+        self.cfg = IndexConfig(**meta["config"])
+        self.num_shards = max(1, self.cfg.doc_shards)
+        actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(Searcher)
+        self._actors = [
+            actor_cls.remote(index_dir, doc_shard=s)
+            for s in range(self.num_shards)
+        ]
+
+    def search(self, words, phrase=None, k: int | None = None,
+               hydrate: bool = False) -> pd.DataFrame:
+        import ray
+
+        k = k if k is not None else self.cfg.max_results
+        futs = [
+            a.search.remote(words, phrase, k=k, hydrate=False)
+            for a in self._actors
+        ]
+        parts = [p for p in ray.get(futs) if len(p)]
+        if not parts:
+            return _empty_results(hydrate)
+        merged = pd.concat(parts, ignore_index=True)
+        nan = merged["score"].isna()
+        merged = pd.concat(
+            [
+                merged[~nan].sort_values(
+                    ["score", "doc_id"], ascending=[False, True]
+                ),
+                merged[nan].sort_values("doc_id"),
+            ],
+            ignore_index=True,
+        ).head(k)
+        if hydrate:
+            merged = ray.get(self._actors[0].hydrate.remote(merged))
+        return merged.reset_index(drop=True)
+
+    def shutdown(self):
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
 
 
 class SearcherPool:

@@ -37,7 +37,9 @@ from web_based_search_engine_ray.stages import codec
 
 SEGMENT_SCHEMA = pa.schema(
     [
+        ("doc_shard", pa.int32()),
         ("bucket", pa.int32()),
+        ("part_key", pa.int64()),   # doc_shard * num_buckets + bucket
         ("term", pa.string()),
         ("run", pa.int32()),
         ("df_run", pa.int64()),
@@ -125,11 +127,20 @@ class PostingExtractor:
         )
 
 
-def _segment_table(rows: dict[str, list], buckets, runs) -> pa.Table:
+def _segment_table(rows: dict[str, list], shards, buckets, runs,
+                   num_buckets: int) -> pa.Table:
     n = len(rows["term"])
+    if not n:
+        return SEGMENT_SCHEMA.empty_table()
+    shards_np = np.asarray(shards, dtype=np.int64)
+    buckets_np = np.asarray(buckets, dtype=np.int64)
     return pa.table(
         {
-            "bucket": pa.array(buckets, type=pa.int32()),
+            "doc_shard": pa.array(shards_np, type=pa.int32()),
+            "bucket": pa.array(buckets_np, type=pa.int32()),
+            "part_key": pa.array(
+                shards_np * num_buckets + buckets_np, type=pa.int64()
+            ),
             "term": pa.array(rows["term"], type=pa.string()),
             "run": pa.array(runs, type=pa.int32()),
             "df_run": pa.array(rows["df_run"], type=pa.int64()),
@@ -140,7 +151,7 @@ def _segment_table(rows: dict[str, list], buckets, runs) -> pa.Table:
             "body_pos": pa.array(rows["body_pos"], type=pa.binary()),
         },
         schema=SEGMENT_SCHEMA,
-    ) if n else SEGMENT_SCHEMA.empty_table()
+    )
 
 
 class TokenizeEncode(PostingExtractor):
@@ -155,19 +166,25 @@ class TokenizeEncode(PostingExtractor):
             return SEGMENT_SCHEMA.empty_table()
         terms_np = np.asarray(terms, dtype=object)
         docs_np = np.asarray(out_doc, dtype=np.int64)
-        order = np.lexsort((docs_np, terms_np))
+        n_shards = max(1, self.cfg.doc_shards)
+        shards_np = docs_np % n_shards
+        order = np.lexsort((docs_np, terms_np, shards_np))
         terms_np, docs_np = terms_np[order], docs_np[order]
+        shards_np = shards_np[order]
         tpos = [tpos[i] for i in order]
         bpos = [bpos[i] for i in order]
 
         new_term = np.ones(len(terms_np), dtype=bool)
-        new_term[1:] = terms_np[1:] != terms_np[:-1]
+        new_term[1:] = (terms_np[1:] != terms_np[:-1]) | (
+            shards_np[1:] != shards_np[:-1]
+        )
         starts = np.flatnonzero(new_term)
         ends = np.concatenate((starts[1:], [len(terms_np)]))
 
         rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
                                 "body_tfs", "title_pos", "body_pos")}
         buckets = []
+        out_shards = []
         nb = self.cfg.num_buckets
         for s, e in zip(starts, ends):
             term = str(terms_np[s])
@@ -190,15 +207,19 @@ class TokenizeEncode(PostingExtractor):
             rows["title_pos"].append(codec.encode_concat_positions(tflat, ttfs))
             rows["body_pos"].append(codec.encode_concat_positions(bflat, btfs))
             buckets.append(stable_hash63(term) % nb)
+            out_shards.append(int(shards_np[s]))
         run0 = int(docs_np[0] % (1 << 30))
-        return _segment_table(rows, buckets, [run0] * len(buckets))
+        return _segment_table(
+            rows, out_shards, buckets, [run0] * len(buckets), nb
+        )
 
 
-def compact_bucket(group: pa.Table, *, max_run_docs: int) -> pa.Table:
-    """``map_groups`` body for one term-hash bucket: merge each term's
-    compressed runs into doc-sorted runs of ≤ ``max_run_docs`` docs.
-    Single-run terms (the Zipf tail — the vast majority) pass through
-    without decoding."""
+def compact_bucket(group: pa.Table, *, max_run_docs: int,
+                   num_buckets: int) -> pa.Table:
+    """``map_groups`` body for one (doc_shard, term-hash-bucket) group
+    (``part_key``): merge each term's compressed runs into doc-sorted
+    runs of ≤ ``max_run_docs`` docs.  Single-run terms (the Zipf tail —
+    the vast majority) pass through without decoding."""
     if group.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
     terms_np = np.asarray(group["term"])
@@ -212,8 +233,9 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int) -> pa.Table:
     passthrough_idx = []
     rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
                             "body_tfs", "title_pos", "body_pos")}
-    buckets, runs = [], []
+    buckets, runs, shards = [], [], []
     bucket = int(group["bucket"][0].as_py())
+    doc_shard = int(group["doc_shard"][0].as_py())
 
     cols = {
         name: group[name] for name in
@@ -272,8 +294,9 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int) -> pa.Table:
             )
             buckets.append(bucket)
             runs.append(chunk)
+            shards.append(doc_shard)
 
-    merged = _segment_table(rows, buckets, runs)
+    merged = _segment_table(rows, shards, buckets, runs, num_buckets)
     if passthrough_idx:
         kept = group.take(pa.array(passthrough_idx, type=pa.int64()))
         kept = kept.select([f.name for f in SEGMENT_SCHEMA])
