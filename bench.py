@@ -89,11 +89,15 @@ def run_bench() -> dict:
     ).count()
 
     # fixed-size pools: autoscaling ramps from 1 and wastes the whole
-    # stage at bench scale
+    # stage at bench scale.  doc_shards is FIXED across parallelism
+    # levels so both scaling runs build identical artifacts; shard-actor
+    # concurrency scales with the CPUs instead.
     pool = max(2, NUM_CPUS // 2)
+    doc_shards = 16
     cfg = IndexConfig(
         extract_concurrency=(pool, pool),
         tokenize_concurrency=(pool, pool),
+        doc_shards=doc_shards,
     )
 
     # 1. index build (the headline: read -> extract -> tokenize ->
@@ -109,14 +113,18 @@ def run_bench() -> dict:
     timings["index_build"] = time.perf_counter() - t0
     n_docs = report["n_docs"]
 
-    # 2. batch search (k=10 top-k incl. phrases)
+    # 2. batch search (k=10 top-k incl. phrases) — scatter-gather over
+    #    the doc shards (per-shard decode = 1/shards of posting data)
+    from web_based_search_engine_ray.pipelines.search import ShardedSearcher
+
     queries = make_queries(N_QUERIES)
     t0 = time.perf_counter()
-    res = batch_search(
-        idx_dir, queries, k=10,
-        concurrency=(pool, pool),
-    ).to_pandas()
+    searcher = ShardedSearcher(
+        idx_dir, num_cpus_per_shard=max(0.25, NUM_CPUS / doc_shards / 2)
+    )
+    res = searcher.batch_search(queries, k=10)
     timings["search_batch"] = time.perf_counter() - t0
+    searcher.shutdown()
     assert len(res) > 0
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",

@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_format_result_block(ray_session, tmp_path_factory):
+    import pandas as pd
+
+    from web_based_search_engine_ray.pipelines.search import (
+        format_result,
+        format_results,
+    )
+
+    row = {
+        "score": 0.73484,
+        "title": "Doc 1",
+        "url": "https://x/1",
+        "last_modified": "2024-01-01 00:00:01",
+        "page_size": 123,
+        "keywords": [("merg", 3), ("spark", 1)],
+        "parent_links": ["https://x/0"],
+        "child_links": ["https://x/2", "https://x/3"],
+    }
+    block = format_result(row)
+    assert block.splitlines()[0] == "0.7348\tDoc 1"
+    assert "\tmerg 3; spark 1" in block
+    assert "\tParent: https://x/0" in block
+    assert block.count("Child:") == 2
+    assert format_results(pd.DataFrame([row, row])).count("0.7348\t") == 2
+
+
+def test_filter_fresh(ray_session, tmp_path_factory, sf_dir):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import (
+        build_index,
+        filter_fresh,
+    )
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    out = str(tmp_path_factory.mktemp("fresh") / "idx")
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4,
+    )
+    build_index(lambda: synth_corpus(sf_dir), out, cfg,
+                input_key="freshtest", resume=False)
+
+    # identical snapshot → nothing is fresh
+    assert filter_fresh(synth_corpus(sf_dir), out).count() == 0
+
+    # bump warc_ts on 3 docs → exactly those are fresh
+    def bump(batch: pa.Table) -> pa.Table:
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bumped = np.where(
+            ids < 3, ts + np.timedelta64(1, "h"), ts
+        )
+        i = batch.schema.get_field_index("warc_ts")
+        return batch.set_column(
+            i, "warc_ts", pa.array(bumped, type=pa.timestamp("us"))
+        )
+
+    updated = synth_corpus(sf_dir).map_batches(bump, batch_format="pyarrow")
+    fresh = filter_fresh(updated, out).to_pandas()
+    assert sorted(fresh["doc_id"]) == [0, 1, 2]
+
+
+def test_dump_index(ray_session, sf_dir):
+    from web_based_search_engine_ray.config import ORACLE_CONFIG
+    from web_based_search_engine_ray.pipelines.search import dump_index
+    from web_based_search_engine_ray.registry import get_index
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    text = dump_index(idx, max_rows=3)
+    assert "== lexicon" in text and "== segments" in text
+    assert "n_docs=500" in text
+
+
+def test_embedding_lsh_finds_exact_pairs(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 64))
+    # 5 near-duplicate pairs: vec i and vec 100+i nearly identical
+    dups = base[:5] + rng.standard_normal((5, 64)) * 0.01
+    vecs = np.concatenate([base, dups])
+    ids = list(range(50)) + list(range(100, 105))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    exact = embedding_dup_pairs_exact(
+        rd.from_arrow(t), threshold=0.95
+    ).to_pandas()
+    lsh = embedding_dup_pairs(
+        rd.from_arrow(t), threshold=0.95, dim=64
+    ).to_pandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    expected = {(i, 100 + i) for i in range(5)}
+    assert exact_pairs == expected
+    # LSH is probabilistic but near-identical vectors share buckets with
+    # overwhelming probability across 4 tables
+    assert lsh_pairs == expected

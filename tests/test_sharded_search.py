@@ -65,6 +65,11 @@ def test_sharded_results_identical(indexes):
                 b["score"].to_numpy(dtype=np.float64),
                 rtol=1e-12,
             )
+        bs = sharded.batch_search(["spark merge", '"batch batch" window'], k=10)
+        assert set(bs.columns) == {"query_id", "rank", "doc_id", "score"}
+        q0 = bs[bs.query_id == 0]
+        direct = sharded.search({"spark", "merge"}, None, k=10)
+        assert q0["doc_id"].tolist() == direct["doc_id"].tolist()
     finally:
         sharded.shutdown()
 

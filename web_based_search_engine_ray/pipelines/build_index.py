@@ -133,6 +133,49 @@ def _explode_links(batch: pa.Table) -> pa.Table:
     )
 
 
+def filter_fresh(corpus, index_dir: str):
+    """Freshness anti-join (the batch form of ``Indexer.isFreshDocument``,
+    ``Indexer.java:77-85``): keep only corpus rows whose url is unseen
+    OR whose ``warc_ts`` is strictly newer than the indexed
+    ``last_modified``.  The stored (url → last_modified) map is
+    broadcast once via ``ray.put`` (semi-join without a shuffle); at
+    10^12 docs this becomes a Bloom-filter broadcast + shuffle
+    anti-join on the survivors.
+
+    Incremental *merge* of the re-indexed docs into existing segments
+    is not implemented yet — rebuild with the filtered corpus unioned
+    with unchanged docs, or rebuild shards whose docs changed.
+    """
+    import pyarrow.dataset as pads
+    import ray
+
+    meta = pads.dataset(
+        os.path.join(index_dir, "docmeta"), format="parquet"
+    ).to_table(columns=["url", "last_modified"])
+    stored = dict(
+        zip(
+            meta["url"].to_pylist(),
+            meta["last_modified"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+        )
+    )
+    ref = ray.put(stored)
+
+    def fresh_only(batch: pa.Table) -> pa.Table:
+        known = ray.get(ref)
+        urls = batch["url"].to_pylist()
+        ts = (
+            batch["warc_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = [
+            u not in known or t > known[u] for u, t in zip(urls, ts)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return corpus.map_batches(fresh_only, batch_format="pyarrow")
+
+
 def build_index(
     corpus_fn,
     out_dir: str,

@@ -524,13 +524,118 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
 
 
 # ------------------------------------------------------- embedding near-dup
-def embedding_dup_pairs(ds, *, threshold: float = 0.95):
-    """Random-hyperplane-LSH-bucketed near-dup variant — tracked for a
-    later round; use ``embedding_dup_pairs_exact`` (exact, SQL-oracle
-    parity) meanwhile."""
-    raise NotImplementedError(
-        "LSH-bucketed variant not yet implemented; use "
-        "embedding_dup_pairs_exact"
+def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
+                        n_tables: int = 4, seed: int = 7, dim: int = 64):
+    """Random-hyperplane LSH near-dup pairs (the scale path): vectors
+    sharing a sign-pattern bucket in ANY of ``n_tables`` hash tables
+    become candidates; candidates are verified with exact cosine.
+    Recall is probabilistic (1-(1-s^p)^t for sign-agreement rate s) —
+    for exact output use ``embedding_dup_pairs_exact``."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = len(emb)
+        if n == 0:
+            return pa.table(
+                {"table_key": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": batch["embedding"]}
+            )
+        keys, ids_idx = [], []
+        for t in range(n_tables):
+            signs = (emb @ planes[t].T) > 0
+            key = np.zeros(n, dtype=np.int64)
+            for i in range(n_planes):
+                key |= signs[:, i].astype(np.int64) << i
+            keys.append(key * n_tables + t)
+            ids_idx.append(np.arange(n))
+        key = np.concatenate(keys)
+        idx = pa.array(np.concatenate(ids_idx))
+        return pa.table(
+            {
+                "table_key": pa.array(key, type=pa.int64()),
+                "bucket": pa.array(key % 64, type=pa.int64()),
+                "vec_id": batch["vec_id"].take(idx),
+                "embedding": batch["embedding"].take(idx),
+            }
+        )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        group = group.sort_by([("table_key", "ascending"), ("vec_id", "ascending")])
+        keys = group["table_key"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        multi = ends - starts >= 2
+        if not multi.any():
+            return empty
+        emb = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        emb = emb / nrm
+        ii_parts, jj_parts = [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            ii, jj = np.triu_indices(e - s, 1)
+            ii_parts.append(ii + s)
+            jj_parts.append(jj + s)
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        cos = np.einsum("ij,ij->i", emb[ii], emb[jj])
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        keep = (cos >= threshold) & (a != b)
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    pairs = (
+        coalesce(ds.map_batches(add_buckets, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        a = group["vec_a"].to_numpy(zero_copy_only=False)
+        b = group["vec_b"].to_numpy(zero_copy_only=False)
+        c = group["cosine"].to_numpy(zero_copy_only=False)
+        first, _counts = _unique_pairs(a, b)
+        return pa.table(
+            {
+                "vec_a": pa.array(a[first], type=pa.int64()),
+                "vec_b": pa.array(b[first], type=pa.int64()),
+                "cosine": pa.array(c[first], type=pa.float64()),
+            }
+        )
+
+    pairs = pairs.map_batches(
+        lambda t: t.append_column(
+            "pb",
+            pa.array(
+                (t["vec_a"].to_numpy(zero_copy_only=False) * 31
+                 + t["vec_b"].to_numpy(zero_copy_only=False)) % 64,
+                type=pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return coalesce(pairs).groupby("pb").map_groups(
+        dedup, batch_format="pyarrow"
     )
 
 

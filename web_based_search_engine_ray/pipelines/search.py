@@ -354,6 +354,47 @@ class Searcher:
         return pd.DataFrame(rows)
 
 
+def format_result(row) -> str:
+    """Reference result text block (``SearchResult.toResultFormat``,
+    ``SearchResult.java:51-110``): score to 4 decimals, title, url,
+    last-modified + page size, top-5 ``keyword freq`` pairs, parent
+    links, child links — one indented block per result."""
+    lines = [
+        f"{row['score']:.4f}\t{row['title']}",
+        f"\t{row['url']}",
+        f"\t{row['last_modified']}, {row['page_size']}",
+        "\t" + "; ".join(f"{w} {f}" for w, f in row["keywords"]),
+    ]
+    lines.extend(f"\tParent: {u}" for u in row["parent_links"])
+    lines.extend(f"\tChild: {u}" for u in row["child_links"])
+    return "\n".join(lines)
+
+
+def format_results(df: pd.DataFrame) -> str:
+    return "\n\n".join(format_result(r) for _, r in df.iterrows())
+
+
+def dump_index(index_dir: str, *, max_rows: int = 20) -> str:
+    """Debug full-scan dump of every artifact (the ``print`` verb /
+    ``Indexer.printAll``, ``Indexer.java:291-297``), truncated to
+    ``max_rows`` per table."""
+    import pyarrow.dataset as pads
+
+    out = []
+    meta = mf.read_json(os.path.join(index_dir, "meta.json"))
+    out.append(f"meta: n_docs={meta['n_docs']}")
+    for name in ("docmeta", "lexicon", "docstats", "forward", "edges",
+                 "segments"):
+        path = os.path.join(index_dir, name)
+        if not os.path.isdir(path):
+            continue
+        d = pads.dataset(path, format="parquet", partitioning="hive")
+        t = d.head(max_rows)
+        out.append(f"\n== {name} ({d.count_rows()} rows) ==")
+        out.append(t.to_pandas().to_string(max_colwidth=40))
+    return "\n".join(out)
+
+
 def _empty_results(hydrate: bool) -> pd.DataFrame:
     cols = ["doc_id", "score"]
     if hydrate:
@@ -413,6 +454,47 @@ class ShardedSearcher:
         if hydrate:
             merged = ray.get(self._actors[0].hydrate.remote(merged))
         return merged.reset_index(drop=True)
+
+    def batch_search(self, queries: list[str], k: int = 10) -> pd.DataFrame:
+        """Fan every query out to every shard up front (actors pipeline
+        their per-query work), then gather + merge.  Per-shard decode
+        work is 1/num_shards of the posting data — the query path that
+        actually scales with shard count."""
+        import ray
+
+        futs = [
+            [
+                a.search.remote(*parse_query(q), k=k, hydrate=False)
+                for a in self._actors
+            ]
+            for q in queries
+        ]
+        rows = []
+        for qid, fl in enumerate(futs):
+            parts = [p for p in ray.get(fl) if len(p)]
+            if not parts:
+                continue
+            merged = pd.concat(parts, ignore_index=True)
+            nan = merged["score"].isna()
+            merged = pd.concat(
+                [
+                    merged[~nan].sort_values(
+                        ["score", "doc_id"], ascending=[False, True]
+                    ),
+                    merged[nan].sort_values("doc_id"),
+                ],
+                ignore_index=True,
+            ).head(k)
+            for rank, (d, s) in enumerate(
+                zip(merged["doc_id"], merged["score"])
+            ):
+                rows.append(
+                    {"query_id": qid, "rank": rank,
+                     "doc_id": int(d), "score": float(s)}
+                )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        )
 
     def shutdown(self):
         import ray
