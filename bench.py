@@ -93,11 +93,12 @@ def run_bench() -> dict:
     # levels so both scaling runs build identical artifacts; shard-actor
     # concurrency scales with the CPUs instead.
     pool = max(2, NUM_CPUS // 2)
-    doc_shards = 16
+    doc_shards = 8
     cfg = IndexConfig(
         extract_concurrency=(pool, pool),
         tokenize_concurrency=(pool, pool),
         doc_shards=doc_shards,
+        num_buckets=8,  # shards x buckets = segment partition dirs
     )
 
     # 1. index build (the headline: read -> extract -> tokenize ->
@@ -186,21 +187,28 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     r_lo = run(lo)
     r_hi = run(hi)
-    # throughput scaling on the index-build headline
+    # headline scaling = the BASELINE.md criterion workload: index build
+    # + query batch on the same input (the supplementary dataops run at
+    # raw sf scale and are overhead-bound there — reported separately)
+    core_lo = r_lo["queries"]["index_build"] + r_lo["queries"]["search_batch"]
+    core_hi = r_hi["queries"]["index_build"] + r_hi["queries"]["search_batch"]
     thr_lo = r_lo["docs_per_sec"]
     thr_hi = r_hi["docs_per_sec"]
     eff_build = (thr_hi / thr_lo) / (hi / lo)
-    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (8 -> 32 cpus, same input)",
         "cpus": [lo, hi],
-        "sec": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
+        "sec_core": {str(lo): round(core_lo, 3), str(hi): round(core_hi, 3)},
+        "sec_all": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
         "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
         "queries_per_sec": {
             str(lo): r_lo["queries_per_sec"], str(hi): r_hi["queries_per_sec"]
         },
         "scaling_efficiency_index_build": round(eff_build, 3),
-        "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_core": round((core_lo / core_hi) / (hi / lo), 3),
+        "scaling_efficiency_total": round(
+            (r_lo["value"] / r_hi["value"]) / (hi / lo), 3
+        ),
         "detail": {str(lo): r_lo["queries"], str(hi): r_hi["queries"]},
     }
 
