@@ -1,0 +1,65 @@
+"""MaxScore pruning must be rank-identical to exhaustive scoring for
+the returned top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, sf_dir):
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.registry import get_index
+
+    return get_index(sf_dir, IndexConfig())
+
+
+def test_lexicon_has_upper_bounds(idx):
+    import os
+
+    import pyarrow.dataset as pads
+
+    lex = pads.dataset(os.path.join(idx, "lexicon"), format="parquet").to_table()
+    assert "ub_adj" in lex.column_names
+    ub = lex["ub_adj"].to_numpy(zero_copy_only=False)
+    assert (ub > 0).all() and (ub <= 1.0).all()  # adjTF/tfMax <= 1
+
+
+@pytest.mark.parametrize("k", [1, 5, 10, 50])
+def test_prune_rank_identical(idx, k):
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    for words in [
+        {"spark", "merge"},
+        {"window", "batch", "stream", "join"},
+        {"doc", "fast"},
+        {"dup", "slow", "agg", "row", "key", "data"},
+    ]:
+        full = s.search(words, k=k, hydrate=False)
+        pruned = s.search(words, k=k, hydrate=False, prune=True)
+        assert full["doc_id"].tolist() == pruned["doc_id"].tolist(), (words, k)
+        # term processing order differs between the two paths, so sums
+        # differ in the last ulp; ranks must still agree exactly
+        np.testing.assert_allclose(
+            full["score"].to_numpy(np.float64),
+            pruned["score"].to_numpy(np.float64),
+            rtol=1e-12,
+        )
+
+
+def test_prune_actually_restricts(idx):
+    """With small k on a query mixing one rare and several common terms,
+    the pruning path must enter restricted mode (observable via fewer
+    candidates than exhaustive scoring)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    words = {"42", "merge", "join", "batch"}  # '42' = rare title term
+    full_map = s.scores(words)
+    pruned_map = s.scores(words, k=1, prune=True)
+    top_full = max(full_map.items(), key=lambda kv: (kv[1], -kv[0]))
+    top_pruned = max(pruned_map.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert top_full == top_pruned
+    assert len(pruned_map) <= len(full_map)

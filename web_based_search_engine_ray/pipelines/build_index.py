@@ -114,6 +114,37 @@ def _tokenize_encode_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
     return inst(batch)
 
 
+def _lexicon_partials(batch: pa.Table, *, title_weight: float) -> pa.Table:
+    """Per-batch partial lexicon rows from forward-index rows:
+    df_part = docs-in-batch per term; ub_part = max over those docs of
+    ``(a·title_tf + (1-a)·body_tf) / tfMax`` — the per-term score upper
+    bound (before idf) used by rank-safe MaxScore pruning."""
+    from web_based_search_engine_ray.stages.postings import _list_column_parts
+
+    ttf, lens = _list_column_parts(batch["title_tfs"])
+    btf, _ = _list_column_parts(batch["body_tfs"])
+    tf_max = batch["tf_max"].to_numpy(zero_copy_only=False)
+    terms_col = batch["terms"].combine_chunks()
+    if isinstance(terms_col, pa.ChunkedArray):
+        terms_col = terms_col.chunk(0)
+    toff = terms_col.offsets.to_numpy(zero_copy_only=False)
+    terms_flat = np.asarray(terms_col.values)[toff[0]:toff[-1]]
+    ratio = (title_weight * ttf + (1.0 - title_weight) * btf) / np.repeat(
+        tf_max, lens
+    ).astype(np.float64)
+    uniq, inv = np.unique(terms_flat, return_inverse=True)
+    df_part = np.bincount(inv, minlength=len(uniq))
+    ub_part = np.zeros(len(uniq), dtype=np.float64)
+    np.maximum.at(ub_part, inv, ratio)
+    return pa.table(
+        {
+            "term": pa.array(uniq.astype(object), type=pa.string()),
+            "df_part": pa.array(df_part, type=pa.int64()),
+            "ub_part": pa.array(ub_part, type=pa.float64()),
+        }
+    )
+
+
 def _explode_links(batch: pa.Table) -> pa.Table:
     links = batch["links"].combine_chunks()
     if isinstance(links, pa.ChunkedArray):
@@ -304,19 +335,6 @@ def build_index(
 
     results.append(mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume))
 
-    # ---- stage: lexicon ----------------------------------------------------
-    fp_lex = _fp("lexicon", fp_seg)
-    d_lex = os.path.join(out_dir, "lexicon")
-
-    def _build_lexicon(stage_dir: str) -> int:
-        ds = rd.read_parquet(d_seg, columns=["term", "df_run"])
-        ds = ds.repartition(_shuffle_parts(cfg))
-        lex = ds.groupby("term").aggregate(Sum("df_run", alias_name="df"))
-        lex.write_parquet(stage_dir)
-        return _count_parquet(stage_dir)
-
-    results.append(mf.run_stage(d_lex, fp_lex, _build_lexicon, resume=resume))
-
     # ---- stage: forward (doc shuffle over exploded segments) ---------------
     fp_fwd = _fp("forward", fp_seg)
     d_fwd = os.path.join(out_dir, "forward")
@@ -348,6 +366,33 @@ def build_index(
 
     results.append(mf.run_stage(d_fwd, fp_fwd, _build_forward, resume=resume))
     n_docs = results[-1].rows  # N = docs with >=1 term (InvertedIndex.java:72)
+
+    # ---- stage: lexicon (df + per-term score upper bound) ------------------
+    fp_lex = _fp("lexicon", fp_fwd)
+    d_lex = os.path.join(out_dir, "lexicon")
+
+    def _build_lexicon(stage_dir: str) -> int:
+        from ray.data.aggregate import Max
+
+        ds = rd.read_parquet(
+            d_fwd, columns=["terms", "title_tfs", "body_tfs", "tf_max"]
+        )
+        partials = ds.map_batches(
+            functools.partial(_lexicon_partials, title_weight=cfg.title_weight),
+            batch_format="pyarrow",
+        )
+        lex = (
+            partials.repartition(_shuffle_parts(cfg))
+            .groupby("term")
+            .aggregate(
+                Sum("df_part", alias_name="df"),
+                Max("ub_part", alias_name="ub_adj"),
+            )
+        )
+        lex.write_parquet(stage_dir)
+        return _count_parquet(stage_dir)
+
+    results.append(mf.run_stage(d_lex, fp_lex, _build_lexicon, resume=resume))
 
     # ---- stage: docstats ---------------------------------------------------
     fp_stats = _fp("docstats", fp_fwd, str(n_docs))

@@ -79,6 +79,13 @@ class Searcher:
         self.lexicon: dict[str, int] = dict(
             zip(lex["term"].to_pylist(), lex["df"].to_pylist())
         )
+        # per-term score upper bound (before idf): max over docs of
+        # adjTF/tfMax — fuels rank-safe MaxScore pruning
+        self.term_ub: dict[str, float] = (
+            dict(zip(lex["term"].to_pylist(), lex["ub_adj"].to_pylist()))
+            if "ub_adj" in lex.column_names
+            else {}
+        )
 
         stats = pads.dataset(
             os.path.join(index_dir, "docstats"), format="parquet"
@@ -92,6 +99,12 @@ class Searcher:
         self._stat_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
         self._tf_max = stats["tf_max"].to_numpy(zero_copy_only=False).astype(np.float64)
         self._norm = stats["doc_len_norm"].to_numpy(zero_copy_only=False)
+        nz = self._norm[self._norm > 0]
+        self._min_norm = float(nz.min()) if nz.size else 0.0
+        # degenerate norms (NaN-score corpus) make bounds meaningless
+        self._can_prune = (
+            self._min_norm > 0 and nz.size == self._norm.size
+        )
 
         self._segments = pads.dataset(
             os.path.join(index_dir, "segments"),
@@ -205,36 +218,89 @@ class Searcher:
         return tkeys, bkeys
 
     # ------------------------------------------------------------------ score
-    def scores(self, words) -> dict[int, float]:
-        """``InvertedIndex.getScores`` (OR-merge + cosine normalization)."""
+    def _term_partial(self, term: str, df: int):
+        """Decode a term's postings → (doc_ids, partial scores)."""
+        p = self.postings(term)
+        if p is None:
+            return None
+        ids, ttf, btf = p
+        idf = math.log10(self.n_docs / df)
+        a = self.cfg.title_weight
+        adj = a * ttf + (1.0 - a) * btf
+        pos = np.searchsorted(self._stat_ids, ids)
+        return ids, adj * idf / self._tf_max[pos]
+
+    def scores(self, words, k: int | None = None,
+               prune: bool = False) -> dict[int, float]:
+        """``InvertedIndex.getScores`` (OR-merge + cosine normalization).
+
+        ``prune=True`` (requires ``k``) enables rank-safe MaxScore
+        pruning (Turtle & Flood-style TAAT): terms are processed in
+        decreasing upper-bound order; once the k-th best provisional
+        score exceeds what the remaining terms could give ANY unseen
+        doc (Σ remaining ub / min corpus norm), remaining terms only
+        update existing candidates.  Scores of every returned doc are
+        exact, and the true top-k is never pruned; docs outside the
+        top-k may be absent, so pruning is only used for plain top-k
+        queries (not phrase semi-joins, not full score dumps)."""
         terms = {w for w in (self.stem_query_word(x) for x in words) if w}
-        id_parts, score_parts = [], []
-        for term in terms:
-            df = self.lexicon.get(term, 0)
-            if df == 0:
-                continue
-            p = self.postings(term)
-            if p is None:
-                continue
-            ids, ttf, btf = p
-            idf = math.log10(self.n_docs / df)
-            a = self.cfg.title_weight
-            adj = a * ttf + (1.0 - a) * btf
-            pos = np.searchsorted(self._stat_ids, ids)
-            partial = adj * idf / self._tf_max[pos]
-            id_parts.append(ids)
-            score_parts.append(partial)
-        if not id_parts:
+        # sorted for a deterministic summation order (set iteration is
+        # hash-salted per process; fp addition is order-sensitive)
+        entries = [
+            (t, self.lexicon[t])
+            for t in sorted(terms)
+            if self.lexicon.get(t, 0) > 0
+        ]
+        if not entries:
             return {}
-        all_ids = np.concatenate(id_parts)
-        all_scores = np.concatenate(score_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(sums, inv, all_scores)
-        pos = np.searchsorted(self._stat_ids, uniq)
+        prune = bool(prune and k and self._can_prune and self.term_ub)
+
+        if prune:
+            # idf × max(adjTF/tfMax): the most this term adds to any doc
+            ub = {
+                t: math.log10(self.n_docs / df) * self.term_ub.get(t, math.inf)
+                for t, df in entries
+            }
+            entries.sort(key=lambda e: -ub[e[0]])
+            remaining = np.cumsum(
+                [ub[t] for t, _ in entries][::-1]
+            )[::-1]
+
+        cand_ids = np.empty(0, dtype=np.int64)
+        cand_sum = np.empty(0, dtype=np.float64)
+        restricted = False
+        for i, (term, df) in enumerate(entries):
+            if prune and not restricted and len(cand_ids) >= k:
+                norm = self._norm[np.searchsorted(self._stat_ids, cand_ids)]
+                provisional = cand_sum / norm
+                theta = np.partition(provisional, len(provisional) - k)[
+                    len(provisional) - k
+                ]
+                if remaining[i] / self._min_norm < theta:
+                    restricted = True
+            tp = self._term_partial(term, df)
+            if tp is None:
+                continue
+            ids, partial = tp
+            if restricted:
+                # exact update of existing candidates only
+                pos = np.searchsorted(cand_ids, ids)
+                pos_c = np.clip(pos, 0, len(cand_ids) - 1)
+                hit = cand_ids[pos_c] == ids
+                np.add.at(cand_sum, pos_c[hit], partial[hit])
+            else:
+                merged = np.concatenate((cand_ids, ids))
+                vals = np.concatenate((cand_sum, partial))
+                cand_ids, inv = np.unique(merged, return_inverse=True)
+                sums = np.zeros(len(cand_ids), dtype=np.float64)
+                np.add.at(sums, inv, vals)
+                cand_sum = sums
+        if not len(cand_ids):
+            return {}
+        norm = self._norm[np.searchsorted(self._stat_ids, cand_ids)]
         with np.errstate(divide="ignore", invalid="ignore"):
-            final = sums / self._norm[pos]
-        return dict(zip(uniq.tolist(), final.tolist()))
+            final = cand_sum / norm
+        return dict(zip(cand_ids.tolist(), final.tolist()))
 
     # ----------------------------------------------------------------- phrase
     def documents_with_phrase(self, phrase: list[str]) -> set[int]:
@@ -268,10 +334,15 @@ class Searcher:
         phrase: list[str] | None = None,
         k: int | None = None,
         hydrate: bool = True,
+        prune: bool = False,
     ) -> pd.DataFrame:
         k = k if k is not None else self.cfg.max_results
         phrase = phrase or []
-        score_map = self.scores(words)
+        # pruning is rank-safe only for a plain top-k (a phrase semi-join
+        # could promote below-threshold docs into the final top-k)
+        score_map = self.scores(
+            words, k=k, prune=prune and not phrase
+        )
         stemmed_phrase = [
             w for w in (self.stem_query_word(x) for x in phrase) if w
         ]
