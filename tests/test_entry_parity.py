@@ -5,13 +5,14 @@ names, order-insensitive values) at sf0.001."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

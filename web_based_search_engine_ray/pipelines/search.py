@@ -365,6 +365,25 @@ class Searcher:
             df = self.hydrate(df)
         return df
 
+    def search_many(self, queries: list[str], k: int | None = None) -> pd.DataFrame:
+        """Batch form of :meth:`search` for shard fan-out: parse + score
+        every query, returning one compact (query_id, doc_id, score)
+        frame (no hydration).  One actor RPC per shard instead of one
+        per (query, shard)."""
+        k = k if k is not None else self.cfg.max_results
+        qids, dids, scs = [], [], []
+        for qid, q in enumerate(queries):
+            words, phrase = parse_query(q)
+            res = self.search(words, phrase, k=k, hydrate=False)
+            n = len(res)
+            if n:
+                qids.extend([qid] * n)
+                dids.extend(res["doc_id"].tolist())
+                scs.extend(res["score"].tolist())
+        return pd.DataFrame(
+            {"query_id": qids, "doc_id": dids, "score": scs}
+        )
+
     # --------------------------------------------------------------- hydrate
     def hydrate(self, results: pd.DataFrame) -> pd.DataFrame:
         """``Indexer.buildSearchResult`` for the k result rows only."""
@@ -527,45 +546,48 @@ class ShardedSearcher:
         return merged.reset_index(drop=True)
 
     def batch_search(self, queries: list[str], k: int = 10) -> pd.DataFrame:
-        """Fan every query out to every shard up front (actors pipeline
-        their per-query work), then gather + merge.  Per-shard decode
-        work is 1/num_shards of the posting data — the query path that
-        actually scales with shard count."""
+        """Send the WHOLE query batch to every shard (one RPC per
+        shard; each shard's decode work is 1/num_shards of the posting
+        data), then merge per query vectorized on the driver."""
         import ray
 
-        futs = [
+        chunk = max(16, (len(queries) + 7) // 8)
+        futs = []
+        for start in range(0, len(queries), chunk):
+            sub = queries[start:start + chunk]
+            futs.extend(
+                (start, a.search_many.remote(sub, k=k)) for a in self._actors
+            )
+        parts = []
+        for start, f in futs:
+            p = ray.get(f)
+            if len(p):
+                p = p.copy()
+                p["query_id"] += start
+                parts.append(p)
+        if not parts:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "doc_id", "score"]
+            )
+        merged = pd.concat(parts, ignore_index=True)
+        nan = merged["score"].isna()
+        merged = pd.concat(
             [
-                a.search.remote(*parse_query(q), k=k, hydrate=False)
-                for a in self._actors
-            ]
-            for q in queries
-        ]
-        rows = []
-        for qid, fl in enumerate(futs):
-            parts = [p for p in ray.get(fl) if len(p)]
-            if not parts:
-                continue
-            merged = pd.concat(parts, ignore_index=True)
-            nan = merged["score"].isna()
-            merged = pd.concat(
-                [
-                    merged[~nan].sort_values(
-                        ["score", "doc_id"], ascending=[False, True]
-                    ),
-                    merged[nan].sort_values("doc_id"),
-                ],
-                ignore_index=True,
-            ).head(k)
-            for rank, (d, s) in enumerate(
-                zip(merged["doc_id"], merged["score"])
-            ):
-                rows.append(
-                    {"query_id": qid, "rank": rank,
-                     "doc_id": int(d), "score": float(s)}
-                )
-        return pd.DataFrame(
-            rows, columns=["query_id", "rank", "doc_id", "score"]
+                merged[~nan].sort_values(
+                    ["query_id", "score", "doc_id"],
+                    ascending=[True, False, True],
+                ),
+                merged[nan].sort_values(["query_id", "doc_id"]),
+            ],
+            ignore_index=True,
         )
+        merged = merged.sort_values(
+            "query_id", kind="stable", ignore_index=True
+        )
+        merged["rank"] = merged.groupby("query_id").cumcount()
+        merged = merged[merged["rank"] < k].reset_index(drop=True)
+        merged["doc_id"] = merged["doc_id"].astype(np.int64)
+        return merged[["query_id", "rank", "doc_id", "score"]]
 
     def shutdown(self):
         import ray
