@@ -1,0 +1,162 @@
+"""Incremental update must produce an index equivalent to a full
+rebuild of the updated corpus, while leaving unaffected doc-shard
+segment partitions untouched on disk."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+SF = "/root/testdata/sf0.001"
+UPDATED_IDS = (0, 4, 8)          # all in shard 0 (mod 4)
+NEW_IDS = (1000, 1004)           # shard 0 as well
+
+
+def _corpus_v1():
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    return synth_corpus(SF)
+
+
+def _corpus_v2():
+    """v1 with docs 0/4/8 rewritten (newer warc_ts) and two new docs."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.sources.webcorpus import synth_batch
+
+    def modify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        texts = [
+            t + " freshly updated content tokens"
+            if i in UPDATED_IDS else t
+            for i, t in zip(ids, texts)
+        ]
+        t = batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(texts, type=pa.string()),
+        )
+        return t
+
+    def to_web(batch: pa.Table) -> pa.Table:
+        web = synth_batch(batch)
+        ids = web["doc_id"].to_numpy(zero_copy_only=False)
+        ts = web["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        bumped = np.where(
+            np.isin(ids, UPDATED_IDS), ts + np.timedelta64(1, "D"), ts
+        )
+        i = web.schema.get_field_index("warc_ts")
+        return web.set_column(
+            i, "warc_ts", pa.array(bumped, type=pa.timestamp("us"))
+        )
+
+    base = (
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"],
+                        override_num_blocks=8)
+        .map_batches(modify, batch_format="pyarrow")
+    )
+    extra = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(NEW_IDS), type=pa.int64()),
+                "text": pa.array(
+                    ["brand new document about sparkly merges" for _ in NEW_IDS]
+                ),
+                "lang": pa.array(["en"] * len(NEW_IDS)),
+            }
+        )
+    )
+    return base.union(extra).map_batches(to_web, batch_format="pyarrow")
+
+
+@pytest.fixture(scope="module")
+def updated_and_rebuilt(ray_session, tmp_path_factory):
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.update_index import update_index
+
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4, num_buckets=4, doc_shards=4,
+    )
+    base = tmp_path_factory.mktemp("upd")
+    inc_dir = str(base / "incremental")
+    full_dir = str(base / "full")
+
+    build_index(_corpus_v1, inc_dir, cfg, input_key="v1", resume=False)
+    # snapshot mtimes of unaffected shard partitions
+    mtimes = {
+        s: os.path.getmtime(os.path.join(inc_dir, "segments", f"doc_shard={s}"))
+        for s in (1, 2, 3)
+    }
+    report = update_index(_corpus_v2, inc_dir, cfg, input_key="v2")
+    build_index(_corpus_v2, full_dir, cfg, input_key="v2-full", resume=False)
+    return inc_dir, full_dir, report, mtimes
+
+
+def test_update_report(updated_and_rebuilt):
+    _, _, report, _ = updated_and_rebuilt
+    assert report["update"]["fresh_docs"] == len(UPDATED_IDS) + len(NEW_IDS)
+    assert report["update"]["affected_shards"] == [0]
+    assert not report["update"]["full_segment_rebuild"]
+    assert report["n_docs"] == 502
+
+
+def test_unaffected_partitions_untouched(updated_and_rebuilt):
+    inc_dir, _, _, mtimes = updated_and_rebuilt
+    for s, old in mtimes.items():
+        now = os.path.getmtime(
+            os.path.join(inc_dir, "segments", f"doc_shard={s}")
+        )
+        assert now == old, f"shard {s} was rewritten"
+
+
+def _tbl(d, name, cols=None):
+    return (
+        pads.dataset(os.path.join(d, name), format="parquet",
+                     partitioning="hive")
+        .to_table(columns=cols)
+        .to_pandas()
+    )
+
+
+def test_update_equals_full_rebuild(updated_and_rebuilt):
+    inc_dir, full_dir, _, _ = updated_and_rebuilt
+    li = _tbl(inc_dir, "lexicon").sort_values("term").reset_index(drop=True)
+    lf = _tbl(full_dir, "lexicon").sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(li, lf)
+    si = _tbl(inc_dir, "docstats").sort_values("doc_id").reset_index(drop=True)
+    sf = _tbl(full_dir, "docstats").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(si, sf)
+
+
+def test_update_search_equivalent(updated_and_rebuilt):
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    inc_dir, full_dir, _, _ = updated_and_rebuilt
+    a, b = Searcher(inc_dir), Searcher(full_dir)
+    for words, phrase in [
+        ({"freshly", "updated"}, None),
+        ({"sparkly", "merges"}, None),
+        ({"spark", "merge"}, None),
+        ({"batch"}, ["batch", "batch"]),
+    ]:
+        ra = a.search(words, phrase, k=50, hydrate=False)
+        rb = b.search(words, phrase, k=50, hydrate=False)
+        assert ra["doc_id"].tolist() == rb["doc_id"].tolist(), words
+        np.testing.assert_allclose(
+            ra["score"].to_numpy(np.float64),
+            rb["score"].to_numpy(np.float64),
+            rtol=1e-12,
+        )
+    # the updated content is actually searchable
+    hits = a.search({"freshly"}, k=10, hydrate=False)
+    assert sorted(hits["doc_id"]) == list(UPDATED_IDS)

@@ -1,0 +1,221 @@
+"""Incremental index update (the batch form of the reference's upsert:
+``removeDocument`` + re-add, ``PostingIndex.java:41-42,93-115``, driven
+by the freshness check ``Indexer.java:77-85``).
+
+Strategy — leveraging the doc-partitioned layout so unchanged documents
+are never re-tokenized:
+
+1. ``filter_fresh`` picks corpus rows that are new or strictly newer
+   than the indexed version.
+2. Fresh rows are extracted; the ``extracted/`` checkpoint is rewritten
+   as (old rows minus updated urls) ∪ fresh rows (IO only, no parsing
+   of unchanged docs).
+3. Only segment partitions (``doc_shard``) containing touched doc_ids
+   are rebuilt (tokenize runs only over those shards' documents); all
+   other shard partitions are left byte-identical on disk.
+4. Manifests for the externally rebuilt stages are written with the
+   fingerprints ``build_index`` would compute for the new input key,
+   then ``build_index(resume=True)`` regenerates everything downstream
+   (docmeta, edges, forward, lexicon, docstats) from the merged
+   segments — these passes decode compressed segments and never
+   re-tokenize.  df/idf and every doc's cosine norm are therefore
+   globally consistent after the update (the reference gets the same
+   property by recomputing doc length per query).
+
+With ``doc_shards == 1`` the segment rebuild degenerates to a full
+re-tokenize (still correct); partition-pruned updates need the sharded
+layout.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from web_based_search_engine_ray.config import IndexConfig
+from web_based_search_engine_ray.pipelines.build_index import (
+    _add_url_bucket,
+    _count_parquet,
+    _extract_task,
+    _fp,
+    _lww_group,
+    _shuffle_parts,
+    _tokenize_encode_task,
+    build_index,
+    filter_fresh,
+)
+from web_based_search_engine_ray.stages.postings import compact_bucket
+from web_based_search_engine_ray.state import manifest as mf
+
+
+def update_index(
+    corpus_fn,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    input_key: str,
+) -> dict:
+    """Apply a corpus snapshot to an existing index.  ``input_key`` must
+    differ from the previous build's key (it fingerprints the new
+    snapshot).  Returns the ``build_index`` report; ``report["update"]``
+    carries the incremental stats."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or IndexConfig()
+    sem = cfg.semantic_key()
+    d_ext = os.path.join(index_dir, "extracted")
+    d_seg = os.path.join(index_dir, "segments")
+
+    fresh = filter_fresh(corpus_fn(), index_dir)
+    if cfg.dedup_urls:
+        fresh = fresh.map_batches(
+            functools.partial(_add_url_bucket, num_buckets=cfg.num_buckets),
+            batch_format="pyarrow",
+        ).repartition(_shuffle_parts(cfg)).groupby("url_bucket").map_groups(
+            _lww_group, batch_format="pyarrow"
+        )
+    fresh_ext = fresh.map_batches(
+        functools.partial(_extract_task, verify=cfg.verify_extraction),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+    d_delta = os.path.join(index_dir, "_extracted_delta")
+    shutil.rmtree(d_delta, ignore_errors=True)
+    fresh_ext.write_parquet(d_delta)
+    try:
+        n_fresh = _count_parquet(d_delta)
+    except Exception:
+        n_fresh = 0
+    if n_fresh == 0:
+        shutil.rmtree(d_delta, ignore_errors=True)
+        report = mf.read_json(os.path.join(index_dir, "meta.json"))
+        report["update"] = {"fresh_docs": 0, "affected_shards": []}
+        return report
+
+    delta = rd.read_parquet(d_delta)
+    delta_meta = delta.select_columns(["url", "doc_id"]).to_pandas()
+    fresh_urls = set(delta_meta["url"])
+    fresh_ids = delta_meta["doc_id"].to_numpy()
+
+    # old doc ids of the updated urls (their postings live in shards
+    # that must be rebuilt even if the new doc_id hashes elsewhere)
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    old_meta = pads.dataset(
+        os.path.join(index_dir, "docmeta"), format="parquet"
+    ).to_table(
+        columns=["doc_id", "url"],
+        filter=pc.field("url").isin(list(fresh_urls)),
+    )
+    old_ids = old_meta["doc_id"].to_numpy(zero_copy_only=False)
+
+    n_shards = max(1, cfg.doc_shards)
+    affected = sorted(
+        set((fresh_ids % n_shards).tolist()) | set((old_ids % n_shards).tolist())
+    )
+
+    # ---- rewrite extracted/: old minus updated urls, plus delta ----------
+    urls_ref = ray.put(fresh_urls)
+
+    def drop_updated(batch: pa.Table) -> pa.Table:
+        known = ray.get(urls_ref)
+        keep = [u not in known for u in batch["url"].to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    survivors = rd.read_parquet(d_ext).map_batches(
+        drop_updated, batch_format="pyarrow"
+    )
+    merged = survivors.union(rd.read_parquet(d_delta))
+    d_ext_new = os.path.join(index_dir, "_extracted_new")
+    shutil.rmtree(d_ext_new, ignore_errors=True)
+    merged.write_parquet(d_ext_new, min_rows_per_file=cfg.min_rows_per_file)
+    n_ext = _count_parquet(d_ext_new)
+    shutil.rmtree(d_ext)
+    os.rename(d_ext_new, d_ext)
+    shutil.rmtree(d_delta, ignore_errors=True)
+
+    fp_ext = _fp("extracted", sem, input_key)
+    mf.write_manifest(d_ext, fp_ext, n_ext, extra={"updated": True})
+
+    # ---- rebuild only the affected segment partitions --------------------
+    from web_based_search_engine_ray.sources.webcorpus import (
+        default_parallelism,
+    )
+
+    full_rebuild = cfg.doc_shards <= 1 or len(affected) >= n_shards
+    ds = rd.read_parquet(
+        d_ext, columns=["doc_id", "title", "text"],
+        override_num_blocks=default_parallelism(),
+    )
+    if not full_rebuild:
+        aff = ray.put(set(affected))
+
+        def in_affected(batch: pa.Table) -> pa.Table:
+            shards = ray.get(aff)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ids % n_shards, list(shards))))
+
+        ds = ds.map_batches(in_affected, batch_format="pyarrow")
+
+    runs = ds.map_batches(
+        functools.partial(_tokenize_encode_task, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+    )
+    if cfg.compact_segments:
+        runs = runs.repartition(_shuffle_parts(cfg))
+        runs = runs.groupby("part_key").map_groups(
+            functools.partial(
+                compact_bucket,
+                max_run_docs=cfg.max_run_docs,
+                num_buckets=cfg.num_buckets,
+            ),
+            batch_format="pyarrow",
+        )
+    partition_cols = ["doc_shard", "bucket"] if cfg.doc_shards > 1 else ["bucket"]
+    d_seg_new = os.path.join(index_dir, "_segments_new")
+    shutil.rmtree(d_seg_new, ignore_errors=True)
+    runs.write_parquet(d_seg_new, partition_cols=partition_cols)
+
+    if full_rebuild:
+        shutil.rmtree(d_seg)
+        os.rename(d_seg_new, d_seg)
+    else:
+        for s in affected:
+            part = f"doc_shard={s}"
+            old_part = os.path.join(d_seg, part)
+            new_part = os.path.join(d_seg_new, part)
+            if os.path.isdir(old_part):
+                shutil.rmtree(old_part)
+            if os.path.isdir(new_part):
+                os.rename(new_part, old_part)
+        shutil.rmtree(d_seg_new, ignore_errors=True)
+
+    fp_seg = _fp("segments", fp_ext)
+    mf.write_manifest(
+        d_seg, fp_seg, _count_parquet(d_seg),
+        extra={"updated_shards": affected, "full_rebuild": full_rebuild},
+    )
+
+    # ---- everything downstream via the normal (resumable) build ----------
+    def _no_corpus():
+        raise RuntimeError(
+            "corpus must not be re-read: extracted stage is primed"
+        )
+
+    report = build_index(
+        _no_corpus, index_dir, cfg, input_key=input_key, resume=True
+    )
+    report["update"] = {
+        "fresh_docs": int(n_fresh),
+        "affected_shards": [int(s) for s in affected],
+        "full_segment_rebuild": bool(full_rebuild),
+    }
+    mf.write_json(os.path.join(index_dir, "meta.json"), report)
+    return report

@@ -107,6 +107,31 @@ def run_stage(
     return StageResult(name, stage_dir, int(rows), wall, False, manifest)
 
 
+def write_manifest(
+    stage_dir: str,
+    fingerprint: str,
+    rows: int,
+    *,
+    wall_sec: float = 0.0,
+    extra: dict | None = None,
+) -> None:
+    """Mark an externally-built stage directory complete (used by
+    ``update_index``, which builds some stages itself and lets
+    ``build_index(resume=True)`` skip them)."""
+    manifest = {
+        "stage": os.path.basename(stage_dir.rstrip("/")),
+        "fingerprint": fingerprint,
+        "rows": int(rows),
+        "wall_sec": round(wall_sec, 4),
+        "partitions": partition_files(stage_dir),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    if extra:
+        manifest.update(extra)
+    with open(_manifest_path(stage_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
 def write_json(path: str, obj: Any) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
