@@ -58,6 +58,54 @@ def hourly_window_agg(ds):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def sliding_window_agg(ds, *, size_minutes: int = 60, step_minutes: int = 15):
+    """Overlapping (sliding) windows aligned to the epoch: an event at
+    ``t`` belongs to every window ``[start, start+size)`` with
+    ``start = floor(t/step)·step - i·step`` and ``start > t - size``.
+    Each event is exploded into ``size/step`` window rows (pre-agg per
+    batch), then a small groupby sums.  Output: (window_start,
+    event_type, n_events, sum_value)."""
+    from ray.data.aggregate import Sum
+
+    size_us = size_minutes * 60 * 1_000_000
+    step_us = step_minutes * 60 * 1_000_000
+    k = -(-size_us // step_us)  # windows per event
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        n = len(ts)
+        base = (ts // step_us) * step_us
+        starts = base[:, None] - np.arange(k)[None, :] * step_us
+        valid = starts > (ts[:, None] - size_us)
+        rows, cols = np.nonzero(valid)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "window_start": starts[rows, cols].astype("datetime64[us]"),
+                "event_type": np.asarray(batch["event_type"].to_pylist(),
+                                         dtype=object)[rows],
+                "value": batch["value"].to_numpy(zero_copy_only=False)[rows],
+            }
+        )
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_part=("value", "size"), sum_part=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        coalesce(ds.map_batches(explode, batch_format="pyarrow"))
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value"),
+        )
+    )
+
+
 def sessionize(ds, *, gap_minutes: int = 30, num_buckets: int = 64):
     """Per-user sessions (new session when the gap to the previous event
     exceeds ``gap_minutes``).  Output: one row per session with

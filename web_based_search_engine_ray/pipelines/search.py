@@ -365,16 +365,18 @@ class Searcher:
             df = self.hydrate(df)
         return df
 
-    def search_many(self, queries: list[str], k: int | None = None) -> pd.DataFrame:
+    def search_many(self, queries: list[str], k: int | None = None,
+                    prune: bool = True) -> pd.DataFrame:
         """Batch form of :meth:`search` for shard fan-out: parse + score
         every query, returning one compact (query_id, doc_id, score)
         frame (no hydration).  One actor RPC per shard instead of one
-        per (query, shard)."""
+        per (query, shard).  MaxScore pruning is on by default (it is
+        rank-safe and auto-disabled for phrase queries)."""
         k = k if k is not None else self.cfg.max_results
         qids, dids, scs = [], [], []
         for qid, q in enumerate(queries):
             words, phrase = parse_query(q)
-            res = self.search(words, phrase, k=k, hydrate=False)
+            res = self.search(words, phrase, k=k, hydrate=False, prune=prune)
             n = len(res)
             if n:
                 qids.extend([qid] * n)

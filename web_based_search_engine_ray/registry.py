@@ -344,6 +344,16 @@ def q_hourly_events(sf_dir: str):
     return res[["window_start", "event_type", "n_events", "sum_value", "mean_value"]]
 
 
+def q_sliding_events(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.events import sliding_window_agg
+
+    res = sliding_window_agg(
+        _events(sf_dir), size_minutes=60, step_minutes=15
+    ).to_pandas()
+    res["sum_value"] = np.round(res["sum_value"], 6)
+    return res[["window_start", "event_type", "n_events", "sum_value"]]
+
+
 def q_sessionize(sf_dir: str):
     from web_based_search_engine_ray.pipelines.events import sessionize
 
@@ -466,6 +476,7 @@ def queries():
         "langid": q_langid,
         "lang_dist": q_lang_dist,
         "hourly_events": q_hourly_events,
+        "sliding_events": q_sliding_events,
         "sessionize": q_sessionize,
         "top_users": q_top_users,
         "lineitem_agg": q_lineitem_agg,
@@ -614,6 +625,23 @@ def oracle_sql():
                    ROUND(SUM(value), 6) AS sum_value,
                    ROUND(SUM(value) / COUNT(*), 6) AS mean_value
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_events": """
+            WITH e AS (
+                SELECT epoch_ms(ts) * 1000 AS tus, event_type, value
+                FROM events
+            ),
+            w AS (
+                SELECT (tus // 900000000) * 900000000
+                         - i.i * 900000000 AS ws,
+                       event_type, value
+                FROM e, (SELECT unnest(range(4)) AS i) i
+                WHERE (tus // 900000000) * 900000000 - i.i * 900000000
+                      > tus - 3600000000
+            )
+            SELECT make_timestamp(ws) AS window_start, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM w GROUP BY ws, event_type
         """,
         "sessionize": """
             WITH marked AS (
