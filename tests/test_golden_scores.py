@@ -9,7 +9,7 @@ import math
 
 import pytest
 
-from tests.oracle import OracleIndex
+from web_based_search_engine_ray.oracle import OracleIndex
 
 # TestDocument.java:5-10 — term ids mapped to identity-stemming strings.
 DOC1 = (1, ["w1", "w1", "w2", "w3"], [])          # title-only

@@ -1,5 +1,9 @@
 """Pure-Python literal oracle of the reference engine semantics.
 
+Shipped inside the package so conformance checks can run anywhere (the
+driver, tests, user code): a record-at-a-time implementation of
+SURVEY.md §2.5 exactly as written in the Java — no Ray, no numpy.
+
 Implements SURVEY.md §2.5 *exactly as written in the Java* (record at a
 time, no Ray, no numpy tricks) so pipeline results can be checked
 against an independent implementation.

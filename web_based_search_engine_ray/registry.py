@@ -206,6 +206,61 @@ def q_search_stemmed(sf_dir: str):
     return s.search({"sparking", "merged", "windows"}, k=50, hydrate=False)
 
 
+def q_stemmed_conformance(sf_dir: str):
+    """Rows-only but self-verifying: runs the FULL stemmed engine
+    against the in-package literal Python oracle (record-at-a-time
+    re-implementation of the reference semantics) on a battery of
+    word/phrase queries and RAISES on any doc-set or >1e-12 score
+    mismatch.  Returns one row per query with the verified counts."""
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.oracle import OracleIndex
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    idx = get_index(sf_dir, IndexConfig())
+    s = Searcher(idx)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    oi = OracleIndex()
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        oi.add_document(did, f"Doc {did}", text)
+
+    battery = [
+        ({"spark", "merge"}, ()),
+        ({"window"}, ()),
+        ({"batch", "stream", "join"}, ()),
+        ({"batch"}, ("batch", "batch")),
+        ({"fast", "key"}, ("fast", "key")),
+        ({"the", "of"}, ()),
+        ({"tables", "sorted", "filtering"}, ()),
+        ({"doc", "42"}, ()),
+    ]
+    rows = []
+    for qid, (words, phrase) in enumerate(battery):
+        eng = s.search(words, list(phrase), k=10**9, hydrate=False)
+        orc = oi.search(words, phrase)
+        eng_map = dict(zip(eng["doc_id"].tolist(), eng["score"].tolist()))
+        if set(eng_map) != set(orc):
+            raise AssertionError(
+                f"doc-set mismatch for {words}/{phrase}: "
+                f"{len(eng_map)} vs {len(orc)}"
+            )
+        worst = max(
+            (abs(eng_map[d] - orc[d]) for d in orc if orc[d] == orc[d]),
+            default=0.0,
+        )
+        if worst > 1e-12:
+            raise AssertionError(
+                f"score mismatch for {words}/{phrase}: {worst}"
+            )
+        rows.append(
+            {"query_id": qid, "n_docs_matched": len(orc),
+             "max_abs_score_diff": worst}
+        )
+    return pd.DataFrame(rows)
+
+
 def q_dedup_exact(sf_dir: str):
     from web_based_search_engine_ray.pipelines.dedup import exact_dedup
 
@@ -463,6 +518,7 @@ def queries():
         "link_edges": q_link_edges,
         "docmeta": q_docmeta,
         "search_stemmed": q_search_stemmed,
+        "stemmed_conformance": q_stemmed_conformance,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
