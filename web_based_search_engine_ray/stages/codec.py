@@ -68,6 +68,39 @@ def varbyte_decode(blob: bytes) -> np.ndarray:
     return vals
 
 
+def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (same rule as varbyte_encode)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 9):
+        nbytes += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    return nbytes
+
+
+def varbyte_encode_slices(values: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    """Encode ``values`` once, then split the blob into per-slice bytes
+    (slice i covers ``lengths[i]`` values).  One vectorized encode + a
+    cheap bytes-slice per output — the fast path for encoding many tiny
+    independent runs (Zipf-tail terms)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if len(lengths) == 0:
+        return []
+    blob = varbyte_encode(values)
+    nb = varbyte_nbytes(values)
+    byte_ends = np.cumsum(nb)
+    val_ends = np.cumsum(lengths)
+    slice_ends = np.zeros(len(lengths), dtype=np.int64)
+    nz = val_ends > 0
+    slice_ends[nz] = byte_ends[val_ends[nz] - 1]
+    np.maximum.accumulate(slice_ends, out=slice_ends)
+    out = []
+    start = 0
+    for e in slice_ends:
+        out.append(blob[start:e])
+        start = e
+    return out
+
+
 def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
     """Gaps of an ascending array (first element absolute)."""
     a = np.ascontiguousarray(sorted_values, dtype=np.int64)
@@ -105,21 +138,29 @@ def encode_position_lists(lists: list[np.ndarray]) -> bytes:
     return varbyte_encode(np.concatenate(gaps) if gaps else np.empty(0, np.uint64))
 
 
-def encode_concat_positions(flat: np.ndarray, lengths: np.ndarray) -> bytes:
-    """Vectorized :func:`encode_position_lists` for pre-concatenated
-    position lists.  ``flat`` holds all sublists back-to-back (each
-    ascending); ``lengths`` are the sublist sizes (zeros allowed)."""
+def delta_concat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Delta-encode concatenated ascending sublists in place of value
+    space: gap within each sublist, first element absolute."""
     flat = np.ascontiguousarray(flat, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
     if flat.size == 0:
-        return b""
+        return flat.astype(np.uint64)
     gaps = np.empty_like(flat)
     gaps[0] = flat[0]
     np.subtract(flat[1:], flat[:-1], out=gaps[1:])
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     starts = starts[lengths > 0]
     gaps[starts] = flat[starts]
-    return varbyte_encode(gaps.astype(np.uint64))
+    return gaps.astype(np.uint64)
+
+
+def encode_concat_positions(flat: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Vectorized :func:`encode_position_lists` for pre-concatenated
+    position lists.  ``flat`` holds all sublists back-to-back (each
+    ascending); ``lengths`` are the sublist sizes (zeros allowed)."""
+    if np.asarray(flat).size == 0:
+        return b""
+    return varbyte_encode(delta_concat(flat, lengths))
 
 
 def decode_concat_positions(blob: bytes, lengths: np.ndarray) -> np.ndarray:

@@ -180,17 +180,67 @@ class TokenizeEncode(PostingExtractor):
         )
         starts = np.flatnonzero(new_term)
         ends = np.concatenate((starts[1:], [len(terms_np)]))
+        sizes = ends - starts
+
+        all_ttf = np.fromiter(map(len, tpos), np.int64, len(tpos))
+        all_btf = np.fromiter(map(len, bpos), np.int64, len(bpos))
 
         rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
                                 "body_tfs", "title_pos", "body_pos")}
         buckets = []
         out_shards = []
         nb = self.cfg.num_buckets
-        for s, e in zip(starts, ends):
+
+        # --- fast path: single-doc runs (the Zipf tail is most of the
+        # vocabulary) — one vectorized encode + bytes slicing instead of
+        # six codec calls per term
+        single = sizes == 1
+        s_idx = starts[single]
+        if s_idx.size:
+            ones = np.ones(len(s_idx), dtype=np.int64)
+            gap_blobs = codec.varbyte_encode_slices(
+                docs_np[s_idx].astype(np.uint64), ones
+            )
+            ttfs_s = all_ttf[s_idx]
+            btfs_s = all_btf[s_idx]
+            ttf_blobs = codec.varbyte_encode_slices(
+                ttfs_s.astype(np.uint64), ones
+            )
+            btf_blobs = codec.varbyte_encode_slices(
+                btfs_s.astype(np.uint64), ones
+            )
+            tflat = (
+                np.concatenate([np.asarray(tpos[i], np.int64) for i in s_idx])
+                if ttfs_s.sum() else np.empty(0, np.int64)
+            )
+            bflat = (
+                np.concatenate([np.asarray(bpos[i], np.int64) for i in s_idx])
+                if btfs_s.sum() else np.empty(0, np.int64)
+            )
+            tpos_blobs = codec.varbyte_encode_slices(
+                codec.delta_concat(tflat, ttfs_s), ttfs_s
+            )
+            bpos_blobs = codec.varbyte_encode_slices(
+                codec.delta_concat(bflat, btfs_s), btfs_s
+            )
+            for j, i in enumerate(s_idx):
+                term = str(terms_np[i])
+                rows["term"].append(term)
+                rows["df_run"].append(1)
+                rows["doc_gaps"].append(gap_blobs[j])
+                rows["title_tfs"].append(ttf_blobs[j])
+                rows["body_tfs"].append(btf_blobs[j])
+                rows["title_pos"].append(tpos_blobs[j])
+                rows["body_pos"].append(bpos_blobs[j])
+                buckets.append(stable_hash63(term) % nb)
+                out_shards.append(int(shards_np[i]))
+
+        # --- general path: multi-doc runs
+        for s, e in zip(starts[~single], ends[~single]):
             term = str(terms_np[s])
             ids = docs_np[s:e]
-            ttfs = np.fromiter((len(x) for x in tpos[s:e]), np.int64, e - s)
-            btfs = np.fromiter((len(x) for x in bpos[s:e]), np.int64, e - s)
+            ttfs = all_ttf[s:e]
+            btfs = all_btf[s:e]
             tflat = (
                 np.concatenate([np.asarray(x, np.int64) for x in tpos[s:e]])
                 if ttfs.sum() else np.empty(0, np.int64)
@@ -332,11 +382,37 @@ def explode_segment_rows(batch: pa.Table) -> pa.Table:
     (all runs of a term share its bucket), so the per-term Σ df_run here
     is the global df.
     """
+    gap_blobs = batch["doc_gaps"].to_pylist()
+    ttf_blobs = batch["title_tfs"].to_pylist()
+    btf_blobs = batch["body_tfs"].to_pylist()
+    df_runs_np = batch["df_run"].to_numpy(zero_copy_only=False)
+
     doc_parts, term_parts, ttf_parts, btf_parts = [], [], [], []
-    for i in range(batch.num_rows):
-        ids = codec.decode_sorted(batch["doc_gaps"][i].as_py())
-        ttfs = codec.varbyte_decode(batch["title_tfs"][i].as_py()).astype(np.int64)
-        btfs = codec.varbyte_decode(batch["body_tfs"][i].as_py()).astype(np.int64)
+    # fast path: single-doc runs decode in ONE varbyte pass (each blob
+    # holds exactly one value)
+    singles = np.flatnonzero(df_runs_np == 1)
+    if singles.size:
+        doc_parts.append(
+            codec.varbyte_decode(
+                b"".join(gap_blobs[i] for i in singles)
+            ).astype(np.int64)
+        )
+        ttf_parts.append(
+            codec.varbyte_decode(
+                b"".join(ttf_blobs[i] for i in singles)
+            ).astype(np.int64)
+        )
+        btf_parts.append(
+            codec.varbyte_decode(
+                b"".join(btf_blobs[i] for i in singles)
+            ).astype(np.int64)
+        )
+        term_parts.append(singles.astype(np.int64))
+    for i in np.flatnonzero(df_runs_np != 1):
+        i = int(i)
+        ids = codec.decode_sorted(gap_blobs[i])
+        ttfs = codec.varbyte_decode(ttf_blobs[i]).astype(np.int64)
+        btfs = codec.varbyte_decode(btf_blobs[i]).astype(np.int64)
         doc_parts.append(ids)
         ttf_parts.append(ttfs)
         btf_parts.append(btfs)
