@@ -93,7 +93,7 @@ def run_bench() -> dict:
     # levels so both scaling runs build identical artifacts; shard-actor
     # concurrency scales with the CPUs instead.
     pool = max(2, NUM_CPUS // 2)
-    doc_shards = 8
+    doc_shards = 16
     cfg = IndexConfig(
         extract_concurrency=(pool, pool),
         tokenize_concurrency=(pool, pool),
@@ -127,6 +127,22 @@ def run_bench() -> dict:
     timings["search_batch"] = time.perf_counter() - t0
     searcher.shutdown()
     assert len(res) > 0
+
+    if os.environ.get("GRAFT_BENCH_CORE_ONLY"):
+        ray.shutdown()
+        total = sum(timings.values())
+        return {
+            "metric": "index build + query batch wall sec (core only)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "corpus_repeat": REPEAT,
+            "docs_per_sec": round(n_docs / timings["index_build"], 1),
+            "queries_per_sec": round(N_QUERIES / timings["search_batch"], 1),
+        }
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -175,8 +191,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # the scaling criterion needs a compute-bound workload: default to a
+    # larger corpus multiple than the plain bench (overridable)
+    scaling_repeat = os.environ.get(
+        "GRAFT_SCALING_REPEAT",
+        os.environ.get("GRAFT_CORPUS_REPEAT", "120"),
+    )
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CORPUS_REPEAT=scaling_repeat,
+                   GRAFT_BENCH_CORE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -1,0 +1,111 @@
+"""CLI mirroring the reference's verbs (``App.java:27-63``):
+
+    python -m web_based_search_engine_ray build  --sf-dir DIR --out IDX
+    python -m web_based_search_engine_ray update --sf-dir DIR --out IDX
+    python -m web_based_search_engine_ray search --index IDX "words..." [--phrase "a b"] [-k N]
+    python -m web_based_search_engine_ray print  --index IDX
+
+The CLI owns the Ray session (guarded init); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="web_based_search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the index from a testdata sf dir")
+    b.add_argument("--sf-dir", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--repeat", type=int, default=1)
+
+    u = sub.add_parser("update", help="incrementally apply a corpus snapshot")
+    u.add_argument("--sf-dir", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--input-key", required=True)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("query", help='query string; "quoted span" = phrase')
+    s.add_argument("-k", type=int, default=None)
+
+    d = sub.add_parser("print", help="debug-dump all index artifacts")
+    d.add_argument("--index", required=True)
+    d.add_argument("--max-rows", type=int, default=20)
+
+    args = p.parse_args(argv)
+    ray = _ray()
+    try:
+        if args.cmd == "build":
+            from web_based_search_engine_ray.config import IndexConfig
+            from web_based_search_engine_ray.pipelines.build_index import (
+                build_index,
+            )
+            from web_based_search_engine_ray.sources.webcorpus import (
+                synth_corpus,
+            )
+
+            report = build_index(
+                lambda: synth_corpus(args.sf_dir, repeat=args.repeat),
+                args.out,
+                IndexConfig(),
+                input_key=f"{args.sf_dir}x{args.repeat}",
+            )
+            print(json.dumps(report, indent=1))
+        elif args.cmd == "update":
+            from web_based_search_engine_ray.config import IndexConfig
+            from web_based_search_engine_ray.pipelines.update_index import (
+                update_index,
+            )
+            from web_based_search_engine_ray.sources.webcorpus import (
+                synth_corpus,
+            )
+
+            report = update_index(
+                lambda: synth_corpus(args.sf_dir),
+                args.out,
+                IndexConfig(),
+                input_key=args.input_key,
+            )
+            print(json.dumps(report["update"], indent=1))
+        elif args.cmd == "search":
+            from web_based_search_engine_ray.pipelines.search import (
+                Searcher,
+                format_results,
+                parse_query,
+            )
+
+            words, phrase = parse_query(args.query)
+            res = Searcher(args.index).search(words, phrase, k=args.k)
+            print(format_results(res))
+        elif args.cmd == "print":
+            from web_based_search_engine_ray.pipelines.search import dump_index
+
+            print(dump_index(args.index, max_rows=args.max_rows))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
