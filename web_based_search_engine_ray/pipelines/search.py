@@ -353,13 +353,7 @@ class Searcher:
             return _empty_results(hydrate)
         ids = np.fromiter(score_map.keys(), dtype=np.int64, count=len(score_map))
         vals = np.fromiter(score_map.values(), dtype=np.float64, count=len(score_map))
-        # deterministic top-k: score desc, doc_id asc (NaN sorts last,
-        # matching Java's Double.compare only by our explicit choice —
-        # conformance compares rank groups by score)
-        order = np.lexsort((ids, -vals))
-        nan_mask = np.isnan(vals[order])
-        order = np.concatenate((order[~nan_mask], order[nan_mask]))
-        top = order[:k]
+        top = _topk_indices(ids, vals, k)
         df = pd.DataFrame({"doc_id": ids[top], "score": vals[top]})
         if hydrate:
             df = self.hydrate(df)
@@ -485,6 +479,28 @@ def dump_index(index_dir: str, *, max_rows: int = 20) -> str:
         out.append(f"\n== {name} ({d.count_rows()} rows) ==")
         out.append(t.to_pandas().to_string(max_colwidth=40))
     return "\n".join(out)
+
+
+def _topk_indices(ids: np.ndarray, vals: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic top-k (score desc, doc_id asc, NaN last).  For
+    candidate sets much larger than k, select the boundary value with
+    ``np.partition`` first and only sort the >= boundary subset — ties
+    at the boundary stay doc_id-deterministic."""
+    n = len(ids)
+    nan_mask = np.isnan(vals)
+    if n > 4 * k + 16 and k < n:
+        valid = np.flatnonzero(~nan_mask)
+        if len(valid) >= k:
+            vv = vals[valid]
+            kth = np.partition(vv, len(vv) - k)[len(vv) - k]
+            cand = valid[vv >= kth]
+            order = cand[np.lexsort((ids[cand], -vals[cand]))][:k]
+            if len(order) == k:
+                return order
+    order = np.lexsort((ids, -vals))
+    nm = nan_mask[order]
+    order = np.concatenate((order[~nm], order[nm]))
+    return order[:k]
 
 
 def _empty_results(hydrate: bool) -> pd.DataFrame:
