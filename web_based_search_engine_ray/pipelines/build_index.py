@@ -214,6 +214,7 @@ def build_index(
     *,
     input_key: str = "",
     resume: bool = True,
+    corpus_parts_fn=None,
 ) -> dict:
     """Build all index artifacts under ``out_dir``.
 
@@ -221,6 +222,15 @@ def build_index(
     (callable so a resumed run whose extract stage is complete never
     constructs the input pipeline).  Returns the build report (also
     persisted as ``meta.json``).
+
+    ``corpus_parts_fn``: optional zero-arg callable returning
+    ``[(part_name, part_corpus_fn), ...]`` — e.g. one part per input
+    file group of a Common-Crawl dump.  When given, the extract stage
+    runs per part with its own lineage manifest, so a crashed run
+    resumes by re-extracting only incomplete parts (partition-level
+    checkpoints).  LWW url-dedup then assumes a url appears in only one
+    part (true for file-partitioned crawl dumps); the in-part dedup
+    still applies.
     """
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -235,8 +245,7 @@ def build_index(
     fp_ext = _fp("extracted", sem, input_key)
     d_ext = os.path.join(out_dir, "extracted")
 
-    def _build_extracted(stage_dir: str) -> int:
-        ds = corpus_fn()
+    def _extract_pipeline(ds):
         if cfg.dedup_urls:
             ds = ds.map_batches(
                 functools.partial(_add_url_bucket, num_buckets=cfg.num_buckets),
@@ -246,15 +255,69 @@ def build_index(
             ds = ds.groupby("url_bucket").map_groups(
                 _lww_group, batch_format="pyarrow"
             )
-        ds = ds.map_batches(
+        return ds.map_batches(
             functools.partial(_extract_task, verify=cfg.verify_extraction),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
-        ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
-        return _count_parquet(stage_dir)
 
-    results.append(mf.run_stage(d_ext, fp_ext, _build_extracted, resume=resume))
+    d_ext_parts = os.path.join(out_dir, "extracted_parts")
+    if corpus_parts_fn is None:
+
+        def _build_extracted(stage_dir: str) -> int:
+            ds = _extract_pipeline(corpus_fn())
+            ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+            return _count_parquet(stage_dir)
+
+        results.append(
+            mf.run_stage(d_ext, fp_ext, _build_extracted, resume=resume)
+        )
+        ext_sources = d_ext
+    else:
+        # partition-level checkpoints: one sub-directory + manifest per
+        # corpus part (under extracted_parts/, NEVER read as one parquet
+        # dir — manifests live beside the part dirs); a resumed run
+        # re-extracts only incomplete parts
+        t0 = time.perf_counter()
+        os.makedirs(d_ext_parts, exist_ok=True)
+        parts = corpus_parts_fn()
+        part_rows = 0
+        parts_done = 0
+        part_dirs = []
+        for part_name, part_fn in parts:
+            p_dir = os.path.join(d_ext_parts, f"part-{part_name}")
+            p_fp = _fp("extracted-part", sem, input_key, str(part_name))
+
+            def _build_part(stage_dir: str, _fn=part_fn) -> int:
+                ds = _extract_pipeline(_fn())
+                ds.write_parquet(
+                    stage_dir, min_rows_per_file=cfg.min_rows_per_file
+                )
+                return _count_parquet(stage_dir)
+
+            r = mf.run_stage(p_dir, p_fp, _build_part, resume=resume)
+            part_rows += r.rows
+            parts_done += 0 if r.skipped else 1
+            part_dirs.append(p_dir)
+        results.append(
+            mf.StageResult(
+                "extracted", d_ext_parts, part_rows,
+                time.perf_counter() - t0, parts_done == 0,
+                {"parts": len(parts), "parts_rebuilt": parts_done},
+            )
+        )
+        # Ray treats list entries as files: expand part dirs
+        ext_sources = [
+            os.path.join(root, fn)
+            for p in part_dirs
+            for root, _dirs, files in os.walk(p)
+            for fn in sorted(files)
+            if fn.endswith(".parquet")
+        ]
+        # fingerprint for downstream chaining covers every part
+        fp_ext = _fp(fp_ext, *[
+            mf.load_manifest(p)["fingerprint"] for p in part_dirs
+        ])
     _n_docs_est = results[-1].rows  # retained for manifest context
 
     # ---- stage: docmeta ----------------------------------------------------
@@ -263,7 +326,7 @@ def build_index(
 
     def _build_docmeta(stage_dir: str) -> int:
         ds = rd.read_parquet(
-            d_ext,
+            ext_sources,
             columns=["doc_id", "url", "title", "page_size", "last_modified", "lang"],
         )
         ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
@@ -276,7 +339,7 @@ def build_index(
     d_edges = os.path.join(out_dir, "edges")
 
     def _build_edges(stage_dir: str) -> int:
-        ds = rd.read_parquet(d_ext, columns=["doc_id", "url", "links"])
+        ds = rd.read_parquet(ext_sources, columns=["doc_id", "url", "links"])
         ds = ds.map_batches(_explode_links, batch_format="pyarrow")
         ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
         _ensure_nonempty_schema(
@@ -303,7 +366,7 @@ def build_index(
         )
 
         ds = rd.read_parquet(
-            d_ext, columns=["doc_id", "title", "text"],
+            ext_sources, columns=["doc_id", "title", "text"],
             override_num_blocks=default_parallelism(),
         )
         # local index: one compressed run per (term, block) — the raw

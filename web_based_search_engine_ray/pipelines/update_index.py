@@ -70,6 +70,14 @@ def update_index(
     sem = cfg.semantic_key()
     d_ext = os.path.join(index_dir, "extracted")
     d_seg = os.path.join(index_dir, "segments")
+    if not os.path.isdir(d_ext) and os.path.isdir(
+        os.path.join(index_dir, "extracted_parts")
+    ):
+        raise NotImplementedError(
+            "update_index over a part-partitioned extracted layout: "
+            "re-run build_index with corpus_parts_fn — only parts whose "
+            "input changed are re-extracted (per-part manifests)"
+        )
 
     fresh = filter_fresh(corpus_fn(), index_dir)
     if cfg.dedup_urls:
