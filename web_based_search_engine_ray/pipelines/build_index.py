@@ -173,9 +173,9 @@ def filter_fresh(corpus, index_dir: str):
     10^12 docs this becomes a Bloom-filter broadcast + shuffle
     anti-join on the survivors.
 
-    Incremental *merge* of the re-indexed docs into existing segments
-    is not implemented yet — rebuild with the filtered corpus unioned
-    with unchanged docs, or rebuild shards whose docs changed.
+    ``pipelines.update_index.update_index`` consumes this predicate to
+    upsert incrementally, rebuilding only the doc shards that contain
+    touched documents.
     """
     import pyarrow.dataset as pads
     import ray
