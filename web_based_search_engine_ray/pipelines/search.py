@@ -71,7 +71,8 @@ class Searcher:
         self.n_docs: int = meta["n_docs"]
         self.cfg = IndexConfig(**meta["config"])
         self._post_cache: dict[str, tuple | None] = {}
-        self._pos_cache: dict[str, dict | None] = {}
+        self._pos_cache: dict[str, tuple | None] = {}
+        self._partial_cache: dict[str, tuple | None] = {}
 
         lex = pads.dataset(
             os.path.join(index_dir, "lexicon"), format="parquet"
@@ -219,20 +220,36 @@ class Searcher:
 
     # ------------------------------------------------------------------ score
     def _term_partial(self, term: str, df: int):
-        """Decode a term's postings → (doc_ids, partial scores)."""
+        """Decode a term's postings → (doc_ids, partial scores).  The
+        partial scores depend only on the index (idf, tfMax), so the
+        fully computed arrays are cached per term."""
+        cached = self._partial_cache.get(term)
+        if cached is not None:
+            return cached
         p = self.postings(term)
         if p is None:
-            return None
-        ids, ttf, btf = p
-        idf = math.log10(self.n_docs / df)
-        a = self.cfg.title_weight
-        adj = a * ttf + (1.0 - a) * btf
-        pos = np.searchsorted(self._stat_ids, ids)
-        return ids, adj * idf / self._tf_max[pos]
+            out = None
+        else:
+            ids, ttf, btf = p
+            idf = math.log10(self.n_docs / df)
+            a = self.cfg.title_weight
+            adj = a * ttf + (1.0 - a) * btf
+            pos = np.searchsorted(self._stat_ids, ids)
+            out = (ids, adj * idf / self._tf_max[pos])
+        if len(self._partial_cache) < self.CACHE_TERMS:
+            self._partial_cache[term] = out
+        return out
 
     def scores(self, words, k: int | None = None,
                prune: bool = False) -> dict[int, float]:
-        """``InvertedIndex.getScores`` (OR-merge + cosine normalization).
+        """Dict facade over :meth:`scores_arrays` (reference-shaped API)."""
+        ids, vals = self.scores_arrays(words, k=k, prune=prune)
+        return dict(zip(ids.tolist(), vals.tolist()))
+
+    def scores_arrays(self, words, k: int | None = None,
+                      prune: bool = False):
+        """``InvertedIndex.getScores`` (OR-merge + cosine normalization)
+        returning ``(doc_ids, scores)`` numpy arrays.
 
         ``prune=True`` (requires ``k``) enables rank-safe MaxScore
         pruning (Turtle & Flood-style TAAT): terms are processed in
@@ -252,7 +269,7 @@ class Searcher:
             if self.lexicon.get(t, 0) > 0
         ]
         if not entries:
-            return {}
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         prune = bool(prune and k and self._can_prune and self.term_ub)
 
         if prune:
@@ -296,11 +313,11 @@ class Searcher:
                 np.add.at(sums, inv, vals)
                 cand_sum = sums
         if not len(cand_ids):
-            return {}
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         norm = self._norm[np.searchsorted(self._stat_ids, cand_ids)]
         with np.errstate(divide="ignore", invalid="ignore"):
             final = cand_sum / norm
-        return dict(zip(cand_ids.tolist(), final.tolist()))
+        return cand_ids, final
 
     # ----------------------------------------------------------------- phrase
     def documents_with_phrase(self, phrase: list[str]) -> set[int]:
@@ -340,19 +357,20 @@ class Searcher:
         phrase = phrase or []
         # pruning is rank-safe only for a plain top-k (a phrase semi-join
         # could promote below-threshold docs into the final top-k)
-        score_map = self.scores(
+        ids, vals = self.scores_arrays(
             words, k=k, prune=prune and not phrase
         )
         stemmed_phrase = [
             w for w in (self.stem_query_word(x) for x in phrase) if w
         ]
-        if stemmed_phrase:
+        if stemmed_phrase and len(ids):
             allowed = self.documents_with_phrase(phrase)
-            score_map = {d: s for d, s in score_map.items() if d in allowed}
-        if not score_map:
+            mask = np.fromiter(
+                (int(d) in allowed for d in ids), dtype=bool, count=len(ids)
+            )
+            ids, vals = ids[mask], vals[mask]
+        if not len(ids):
             return _empty_results(hydrate)
-        ids = np.fromiter(score_map.keys(), dtype=np.int64, count=len(score_map))
-        vals = np.fromiter(score_map.values(), dtype=np.float64, count=len(score_map))
         top = _topk_indices(ids, vals, k)
         df = pd.DataFrame({"doc_id": ids[top], "score": vals[top]})
         if hydrate:
@@ -481,6 +499,48 @@ def dump_index(index_dir: str, *, max_rows: int = 20) -> str:
     return "\n".join(out)
 
 
+def _merge_query_results(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
+    """Merge per-shard (query_id, doc_id, score) frames into exact
+    per-query top-k (score desc, doc_id asc, NaN last)."""
+    if not parts:
+        return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    merged = pd.concat(parts, ignore_index=True)
+    nan = merged["score"].isna()
+    merged = pd.concat(
+        [
+            merged[~nan].sort_values(
+                ["query_id", "score", "doc_id"],
+                ascending=[True, False, True],
+            ),
+            merged[nan].sort_values(["query_id", "doc_id"]),
+        ],
+        ignore_index=True,
+    )
+    merged = merged.sort_values("query_id", kind="stable", ignore_index=True)
+    merged["rank"] = merged.groupby("query_id").cumcount()
+    merged = merged[merged["rank"] < k].reset_index(drop=True)
+    merged["doc_id"] = merged["doc_id"].astype(np.int64)
+    return merged[["query_id", "rank", "doc_id", "score"]]
+
+
+class _Broker:
+    """Query broker: scatter-gathers a query slice against SHARED shard
+    actors and merges locally; multiple brokers multiply gather/merge
+    throughput without duplicating shard state."""
+
+    def __init__(self, shard_actors):
+        self._shards = shard_actors
+
+    def run(self, queries: list[str], base_qid: int, k: int) -> pd.DataFrame:
+        import ray
+
+        futs = [s.search_many.remote(queries, k=k) for s in self._shards]
+        parts = [p for p in ray.get(futs) if len(p)]
+        out = _merge_query_results(parts, k)
+        out["query_id"] += base_qid
+        return out
+
+
 def _topk_indices(ids: np.ndarray, vals: np.ndarray, k: int) -> np.ndarray:
     """Deterministic top-k (score desc, doc_id asc, NaN last).  For
     candidate sets much larger than k, select the boundary value with
@@ -563,11 +623,42 @@ class ShardedSearcher:
             merged = ray.get(self._actors[0].hydrate.remote(merged))
         return merged.reset_index(drop=True)
 
-    def batch_search(self, queries: list[str], k: int = 10) -> pd.DataFrame:
-        """Send the WHOLE query batch to every shard (one RPC per
-        shard; each shard's decode work is 1/num_shards of the posting
-        data), then merge per query vectorized on the driver."""
+    def batch_search(self, queries: list[str], k: int = 10,
+                     n_brokers: int = 0) -> pd.DataFrame:
+        """Send the query batch to every shard (chunked RPCs; each
+        shard's decode work is 1/num_shards of the posting data), then
+        merge per query.
+
+        The single-process gather+merge is the throughput bound at high
+        query rates (see BASELINE.md) — pass ``n_brokers > 0`` to run
+        the scatter-gather inside broker actors that SHARE the shard
+        actors, scaling query throughput with cores the way production
+        search tiers scale by adding brokers."""
         import ray
+
+        if n_brokers and len(queries) > n_brokers:
+            broker_cls = ray.remote(num_cpus=0.5)(_Broker)
+            brokers = [
+                broker_cls.remote(self._actors) for _ in range(n_brokers)
+            ]
+            chunk = -(-len(queries) // n_brokers)
+            futs = [
+                brokers[i].run.remote(
+                    queries[i * chunk:(i + 1) * chunk], i * chunk, k
+                )
+                for i in range(n_brokers)
+                if queries[i * chunk:(i + 1) * chunk]
+            ]
+            try:
+                parts = [p for p in ray.get(futs) if len(p)]
+            finally:
+                for b in brokers:
+                    ray.kill(b)
+            if not parts:
+                return pd.DataFrame(
+                    columns=["query_id", "rank", "doc_id", "score"]
+                )
+            return pd.concat(parts, ignore_index=True)
 
         chunk = max(16, (len(queries) + 7) // 8)
         futs = []
@@ -583,29 +674,10 @@ class ShardedSearcher:
                 p = p.copy()
                 p["query_id"] += start
                 parts.append(p)
-        if not parts:
-            return pd.DataFrame(
-                columns=["query_id", "rank", "doc_id", "score"]
-            )
-        merged = pd.concat(parts, ignore_index=True)
-        nan = merged["score"].isna()
-        merged = pd.concat(
-            [
-                merged[~nan].sort_values(
-                    ["query_id", "score", "doc_id"],
-                    ascending=[True, False, True],
-                ),
-                merged[nan].sort_values(["query_id", "doc_id"]),
-            ],
-            ignore_index=True,
-        )
-        merged = merged.sort_values(
-            "query_id", kind="stable", ignore_index=True
-        )
-        merged["rank"] = merged.groupby("query_id").cumcount()
-        merged = merged[merged["rank"] < k].reset_index(drop=True)
-        merged["doc_id"] = merged["doc_id"].astype(np.int64)
-        return merged[["query_id", "rank", "doc_id", "score"]]
+        return _merge_query_results(parts, k)
+
+    def shard_actors(self):
+        return list(self._actors)
 
     def shutdown(self):
         import ray
