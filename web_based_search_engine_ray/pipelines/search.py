@@ -51,6 +51,16 @@ from web_based_search_engine_ray.stages import codec
 from web_based_search_engine_ray.state import manifest as mf
 
 
+def _load_cfg(d: dict) -> IndexConfig:
+    """Tolerant config load: ignore keys from other code versions (an
+    index built by an older/newer build keeps working as long as the
+    semantic fields match)."""
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(IndexConfig)}
+    return IndexConfig(**{k: v for k, v in d.items() if k in known})
+
+
 class Searcher:
     """Loads the small artifacts once (lexicon, docstats, meta); posting
     runs and hydration rows are filtered parquet reads."""
@@ -69,7 +79,7 @@ class Searcher:
         self.doc_shard = doc_shard
         meta = mf.read_json(os.path.join(index_dir, "meta.json"))
         self.n_docs: int = meta["n_docs"]
-        self.cfg = IndexConfig(**meta["config"])
+        self.cfg = _load_cfg(meta["config"])
         self._post_cache: dict[str, tuple | None] = {}
         self._pos_cache: dict[str, tuple | None] = {}
         self._partial_cache: dict[str, tuple | None] = {}
@@ -588,7 +598,7 @@ class ShardedSearcher:
         import ray
 
         meta = mf.read_json(os.path.join(index_dir, "meta.json"))
-        self.cfg = IndexConfig(**meta["config"])
+        self.cfg = _load_cfg(meta["config"])
         self.num_shards = max(1, self.cfg.doc_shards)
         actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(Searcher)
         self._actors = [
