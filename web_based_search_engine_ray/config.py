@@ -32,7 +32,8 @@ class IndexConfig:
 
     # --- physical layout / scale knobs (ours) ---
     num_buckets: int = 32              # term-hash partitions for segments
-    tokenize_batch_size: int = 256     # docs per batch in the tokenize stage
+    tokenize_batch_size: int = 1024    # docs per batch in the tokenize stage
+    # (larger batches -> fewer per-(term, block) runs to shuffle+compact)
     tokenize_concurrency: tuple[int, int] = (1, 8)  # actor-pool size range
     extract_batch_size: int = 256
     extract_concurrency: tuple[int, int] = (1, 8)

@@ -365,9 +365,12 @@ def build_index(
             default_parallelism,
         )
 
+        # read directly at shuffle parallelism: the groupby below then
+        # needs no repartition pass (each repartition moves all run data
+        # through the object store once)
         ds = rd.read_parquet(
             ext_sources, columns=["doc_id", "title", "text"],
-            override_num_blocks=default_parallelism(),
+            override_num_blocks=_shuffle_parts(cfg),
         )
         # local index: one compressed run per (term, block) — the raw
         # (term, doc, positions) rows never cross a shuffle.  Task mode
@@ -381,7 +384,6 @@ def build_index(
         if cfg.compact_segments:
             # merge: shuffle only compressed runs, bounded per-term
             # chunks, grouped per (doc_shard, bucket)
-            runs = runs.repartition(_shuffle_parts(cfg))
             runs = runs.groupby("part_key").map_groups(
                 functools.partial(
                     compact_bucket,

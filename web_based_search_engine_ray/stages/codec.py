@@ -126,6 +126,25 @@ def decode_sorted(blob: bytes) -> np.ndarray:
     return delta_decode(varbyte_decode(blob))
 
 
+def varbyte_slice_points(blob: bytes, counts: np.ndarray) -> np.ndarray:
+    """Byte offsets splitting ``blob`` into groups of ``counts[i]``
+    varbyte values each (without decoding the values): returns
+    ``len(counts)+1`` offsets.  Enables zero-decode reordering of
+    per-doc position runs — within-doc deltas are invariant under doc
+    reordering, so compaction can splice position bytes directly."""
+    counts = np.asarray(counts, dtype=np.int64)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    out = np.zeros(len(counts) + 1, dtype=np.int64)
+    if b.size == 0:
+        return out
+    value_ends = np.flatnonzero((b & 0x80) == 0) + 1  # byte after each value
+    cum = np.cumsum(counts)
+    nz = cum > 0
+    out[1:][nz] = value_ends[cum[nz] - 1]
+    np.maximum.accumulate(out, out=out)
+    return out
+
+
 def encode_position_lists(lists: list[np.ndarray]) -> bytes:
     """Concatenate per-doc position lists (each sorted ascending), delta
     within each list, varbyte the whole run.  Slice lengths are stored

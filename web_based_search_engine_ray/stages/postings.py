@@ -268,8 +268,13 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
                    num_buckets: int) -> pa.Table:
     """``map_groups`` body for one (doc_shard, term-hash-bucket) group
     (``part_key``): merge each term's compressed runs into doc-sorted
-    runs of ≤ ``max_run_docs`` docs.  Single-run terms (the Zipf tail —
-    the vast majority) pass through without decoding."""
+    runs of ≤ ``max_run_docs`` docs.
+
+    Single-run terms (the Zipf tail — the vast majority) pass through
+    untouched.  For multi-run terms only doc-id gaps and tf arrays are
+    decoded; per-doc POSITION payloads are never decoded — within-doc
+    deltas are invariant under doc reordering, so position runs are
+    spliced at byte level (``codec.varbyte_slice_points``)."""
     if group.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
     terms_np = np.asarray(group["term"])
@@ -287,10 +292,12 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
     bucket = int(group["bucket"][0].as_py())
     doc_shard = int(group["doc_shard"][0].as_py())
 
-    cols = {
-        name: group[name] for name in
-        ("doc_gaps", "title_tfs", "body_tfs", "title_pos", "body_pos", "df_run")
-    }
+    gap_blobs = group["doc_gaps"].to_pylist()
+    ttf_blobs = group["title_tfs"].to_pylist()
+    btf_blobs = group["body_tfs"].to_pylist()
+    tpos_blobs = group["title_pos"].to_pylist()
+    bpos_blobs = group["body_pos"].to_pylist()
+
     for s, e in zip(starts, ends):
         idxs = order[s:e]
         if e - s == 1:
@@ -298,31 +305,35 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
             continue
         term = str(terms_np[s])
         ids_parts, ttf_parts, btf_parts = [], [], []
-        tpos_parts, bpos_parts = [], []
+        tpos_pieces: list[bytes] = []  # per-doc byte slices, run order
+        bpos_pieces: list[bytes] = []
         for i in idxs:
             i = int(i)
-            ids = codec.decode_sorted(cols["doc_gaps"][i].as_py())
-            ttfs = codec.varbyte_decode(cols["title_tfs"][i].as_py()).astype(np.int64)
-            btfs = codec.varbyte_decode(cols["body_tfs"][i].as_py()).astype(np.int64)
-            tflat = codec.decode_concat_positions(cols["title_pos"][i].as_py(), ttfs)
-            bflat = codec.decode_concat_positions(cols["body_pos"][i].as_py(), btfs)
+            ids = codec.decode_sorted(gap_blobs[i])
+            ttfs = codec.varbyte_decode(ttf_blobs[i]).astype(np.int64)
+            btfs = codec.varbyte_decode(btf_blobs[i]).astype(np.int64)
             ids_parts.append(ids)
             ttf_parts.append(ttfs)
             btf_parts.append(btfs)
-            tpos_parts.append((tflat, ttfs))
-            bpos_parts.append((bflat, btfs))
+            tb = tpos_blobs[i]
+            bb = bpos_blobs[i]
+            tcuts = codec.varbyte_slice_points(tb, ttfs)
+            bcuts = codec.varbyte_slice_points(bb, btfs)
+            tpos_pieces.extend(
+                tb[tcuts[j]:tcuts[j + 1]] for j in range(len(ids))
+            )
+            bpos_pieces.extend(
+                bb[bcuts[j]:bcuts[j + 1]] for j in range(len(ids))
+            )
         ids = np.concatenate(ids_parts)
         sort = np.argsort(ids, kind="stable")
         ids = ids[sort]
         ttfs = np.concatenate(ttf_parts)[sort]
         btfs = np.concatenate(btf_parts)[sort]
-        tflat = _reorder_concat(tpos_parts, sort)
-        bflat = _reorder_concat(bpos_parts, sort)
-        # chunk into bounded runs
-        toff = np.concatenate(([0], np.cumsum(ttfs)))
-        boff = np.concatenate(([0], np.cumsum(btfs)))
+        # chunk into bounded runs; positions are byte-spliced per doc
         for chunk, cs in enumerate(range(0, len(ids), max_run_docs)):
             ce = min(cs + max_run_docs, len(ids))
+            sel = sort[cs:ce]
             rows["term"].append(term)
             rows["df_run"].append(int(ce - cs))
             rows["doc_gaps"].append(codec.encode_sorted(ids[cs:ce]))
@@ -333,14 +344,10 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
                 codec.varbyte_encode(btfs[cs:ce].astype(np.uint64))
             )
             rows["title_pos"].append(
-                codec.encode_concat_positions(
-                    tflat[toff[cs]:toff[ce]], ttfs[cs:ce]
-                )
+                b"".join(tpos_pieces[j] for j in sel)
             )
             rows["body_pos"].append(
-                codec.encode_concat_positions(
-                    bflat[boff[cs]:boff[ce]], btfs[cs:ce]
-                )
+                b"".join(bpos_pieces[j] for j in sel)
             )
             buckets.append(bucket)
             runs.append(chunk)
@@ -355,23 +362,6 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
             pa.concat_tables([kept, merged]) if merged.num_rows else kept
         )
     return merged
-
-
-def _reorder_concat(parts: list[tuple[np.ndarray, np.ndarray]], sort: np.ndarray) -> np.ndarray:
-    """Reorder concatenated variable-length position lists by the
-    doc-level permutation ``sort``.  ``parts`` = [(flat, lengths)...]"""
-    flat = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-    lens = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
-    if flat.size == 0:
-        return flat
-    offsets = np.concatenate(([0], np.cumsum(lens)))
-    out = np.empty_like(flat)
-    pos = 0
-    for i in sort:
-        ln = int(lens[i])
-        out[pos:pos + ln] = flat[offsets[i]:offsets[i] + ln]
-        pos += ln
-    return out
 
 
 def explode_segment_rows(batch: pa.Table) -> pa.Table:
