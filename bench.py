@@ -195,7 +195,7 @@ def run_scaling() -> dict:
     # larger corpus multiple than the plain bench (overridable)
     scaling_repeat = os.environ.get(
         "GRAFT_SCALING_REPEAT",
-        os.environ.get("GRAFT_CORPUS_REPEAT", "120"),
+        os.environ.get("GRAFT_CORPUS_REPEAT", "360"),
     )
 
     def run(ncpu: int) -> dict:
