@@ -13,10 +13,11 @@ manifest (resume skips complete stages):
       ├─ docmeta/   (projection)
       ├─ edges/     (links exploded)
       ▼
-    segments/    tokenize+encode (actor pool) → one compressed posting
-                 run per (term, block) — local index, NO shuffle of raw
-                 postings — then compaction merges runs per term-hash
-                 bucket              [shuffle: term bucket, compressed]
+    segments/    tokenize+encode (task pool w/ per-worker state) → one
+                 compressed posting run per (term, block) — local
+                 index, NO shuffle of raw postings — then compaction
+                 merges runs per (doc_shard, term-bucket)
+                                     [shuffle: term bucket, compressed]
       ├─ lexicon/   term → df = Σ df_run           [shuffle: term, small]
       ▼
     forward/     segments exploded with df → groupby(doc bucket)
