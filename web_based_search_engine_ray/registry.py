@@ -359,8 +359,12 @@ def q_quality(sf_dir: str):
         .map_batches(quality_batch, batch_format="pyarrow")
         .to_pandas()
     )
+    # floor-scale instead of ROUND: np.round is half-to-even while
+    # DuckDB ROUND is half-away, and the dyadic ratios here (e.g.
+    # 105/128 = 0.8203125) land exactly on rounding ties.  floor of the
+    # identical float64 product is tie-free on both sides.
     for c in ("alpha_ratio", "digit_ratio", "space_ratio"):
-        res[c] = np.round(res[c], 6)
+        res[c] = np.floor(res[c] * 1e6) / 1e6
     return res[["doc_id", "n_chars", "alpha_ratio", "digit_ratio", "space_ratio"]]
 
 
@@ -556,7 +560,7 @@ def oracle_sql():
             SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
         """,
         "doc_stats": _SCORE_CTES + """
-            SELECT m.doc_id, m.tf_max,
+            SELECT m.doc_id, CAST(m.tf_max AS BIGINT) AS tf_max,
                    ROUND(l.doc_len, 9) AS doc_len_norm
             FROM tfmax m JOIN doclen l ON m.doc_id = l.doc_id
         """,
@@ -625,19 +629,33 @@ def oracle_sql():
                          JOIN sizes sb ON i.doc_b = sb.doc_id
             WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
         """,
+        # engine math is float64 (np.float64 from the float32 parquet
+        # column); DuckDB's list_cosine_similarity on FLOAT[] stays in
+        # float32 and disagrees in the 6th digit — cast to DOUBLE[] so
+        # the oracle computes in the same precision
         "embedding_dup_pairs": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings
+            )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         """,
         "ann_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                       FROM embeddings WHERE vec_id < 3),
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, emb AS qe
+                  FROM e WHERE vec_id < 3),
             scored AS (
                 SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(q.qe, e.embedding) AS c
-                FROM q CROSS JOIN embeddings e
+                       list_cosine_similarity(q.qe, e.emb) AS c
+                FROM q CROSS JOIN e
             ),
             ranked AS (
                 SELECT query_id, vec_id, c,
@@ -653,18 +671,20 @@ def oracle_sql():
             SELECT doc_id, CAST(len({toks}) AS BIGINT) AS token_count
             FROM documents
         """,
+        # FLOOR(x*1e6)/1e6 mirrors the engine's np.floor scaling —
+        # tie-free where ROUND's half-away vs numpy's half-even differ
         "quality": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                   FLOOR((CASE WHEN length(text) = 0 THEN 0.0 ELSE
                      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                       / length(text) END, 6) AS alpha_ratio,
-                   ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       / length(text) END) * 1e6) / 1e6 AS alpha_ratio,
+                   FLOOR((CASE WHEN length(text) = 0 THEN 0.0 ELSE
                      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                       / length(text) END, 6) AS digit_ratio,
-                   ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       / length(text) END) * 1e6) / 1e6 AS digit_ratio,
+                   FLOOR((CASE WHEN length(text) = 0 THEN 0.0 ELSE
                      CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                       / length(text) END, 6) AS space_ratio
+                       / length(text) END) * 1e6) / 1e6 AS space_ratio
             FROM documents
         """,
         "fingerprint": """
