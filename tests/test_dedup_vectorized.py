@@ -1,0 +1,162 @@
+"""Tests for the vectorized dedup/text hot paths, the LSH band-bucket
+caps, and the partitioned IVF store."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_mulmod_mersenne61_exact():
+    from web_based_search_engine_ray.pipelines.dedup import (
+        _MERSENNE,
+        _mulmod_mersenne61,
+    )
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 2**63, size=4000, dtype=np.int64).astype(np.uint64)
+    x = rng.integers(0, 2**63, size=4000, dtype=np.int64).astype(np.uint64)
+    r = _mulmod_mersenne61(a, x)
+    for i in range(0, 4000, 7):
+        assert int(r[i]) == (int(a[i]) * int(x[i])) % _MERSENNE
+
+
+def test_simhash_batch_matches_reference_formula():
+    from web_based_search_engine_ray.pipelines.dedup import SimHasher, _tokens
+
+    def ref_simhash(text: str) -> int:
+        toks = _tokens(text)
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok, tf in Counter(toks).items():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += tf * (2 * bits.astype(np.int64) - 1)
+        return int(
+            ((acc > 0).astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum()
+        )
+
+    texts = ["the quick brown fox", "spark merge batch batch stream",
+             "", "a b c a b c a", "one-token"]
+    got = SimHasher.simhash_batch(texts)
+    for t, g in zip(texts, got):
+        assert int(g) == ref_simhash(t)
+
+
+def test_shingle_fold_polynomial_definition():
+    """Shingle hash = polynomial fold of md5 token hashes mod 2^61-1 —
+    the exact contract the SQL oracles mirror."""
+    from web_based_search_engine_ray.pipelines.dedup import (
+        _MERSENNE,
+        SHINGLE_BASE,
+        _shingle_hashes,
+        token_hash,
+    )
+
+    text = "alpha beta gamma delta"
+    toks = ["alpha", "beta", "gamma", "delta"]
+    hs = [token_hash(t) % _MERSENNE for t in toks]
+    expected = set()
+    for i in range(len(toks) - 2):
+        s = hs[i]
+        for j in (i + 1, i + 2):
+            s = (s * SHINGLE_BASE + hs[j]) % _MERSENNE
+        expected.add(s)
+    assert set(_shingle_hashes(text, 3).tolist()) == expected
+    # short doc folds all tokens as one shingle
+    short = (hs[0] * SHINGLE_BASE + hs[1]) % _MERSENNE
+    assert set(_shingle_hashes("alpha beta", 3).tolist()) == {short}
+    assert _shingle_hashes("", 3).size == 0
+
+
+@pytest.mark.parametrize("fn_name", ["minhash", "simhash"])
+def test_band_bucket_cap_blocks_quadratic_blowup(ray_session, fn_name):
+    """An adversarial constant corpus (every doc identical) lands all
+    docs in one band bucket per band; the cap must skip those groups
+    instead of emitting ~n²/2 pairs."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    n = 600
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "text": pa.array(["identical content for every doc"] * n),
+        }
+    )
+    ds = rd.from_arrow(t)
+    if fn_name == "minhash":
+        pairs = minhash_lsh_pairs(ds, max_band_bucket=100).to_pandas()
+    else:
+        pairs = simhash_pairs(ds, max_band_bucket=100).to_pandas()
+    assert len(pairs) == 0  # capped, not quadratic
+
+
+def test_quality_and_token_count_vectorized_parity(ray_session):
+    from web_based_search_engine_ray.functions.stopwords import stopword_set
+    from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        quality_batch,
+        token_count_batch,
+    )
+
+    texts = ["hello world", "", "a-b_c 42 !!", "  spaces  ",
+             "tab\there\nnl", "x" * 257, "9 99 999", "the of and"]
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    tc = token_count_batch(b)["token_count"].to_pylist()
+    assert tc == [len([t for t in TOKEN_RE.split(x) if t]) for x in texts]
+
+    q = quality_batch(b).to_pandas()
+    stops = stopword_set()
+    for i, t in enumerate(texts):
+        L = len(t)
+        assert q["n_chars"][i] == L
+        if L:
+            assert q["alpha_ratio"][i] == pytest.approx(
+                sum("a" <= c <= "z" or "A" <= c <= "Z" for c in t) / L)
+            assert q["digit_ratio"][i] == pytest.approx(
+                sum("0" <= c <= "9" for c in t) / L)
+            assert q["space_ratio"][i] == pytest.approx(
+                sum(c in "\t\n\x0b\x0c\r " for c in t) / L)
+        toks = [x for x in TOKEN_RE.split(t) if x]
+        if toks:
+            assert q["stopword_ratio"][i] == pytest.approx(
+                sum(x.lower() in stops for x in toks) / len(toks))
+
+
+def test_ivf_partitioned_store(ray_session, tmp_path):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.similarity import IvfIndex
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    emb = rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    idx = IvfIndex(n_clusters=8, iters=2, store_dir=str(tmp_path / "ivf"))
+    idx.fit(rd.from_arrow(t))
+    res = idx.search(emb[:2], k=5, nprobe=3)
+    assert set(res["query_id"]) == {0, 1}
+    # self-match must rank first with high recall at nprobe=3
+    top0 = res[res["query_id"] == 0].sort_values("rank").iloc[0]
+    assert top0["vec_id"] == 0
+    # only probed partitions were loaded
+    assert len(idx._cluster_cache) <= 2 * 3

@@ -15,12 +15,23 @@ list; patterns follow the public MinHash/LSH and SimHash literature):
 Scale notes: every shuffle is keyed by a hash (uniform); the shingle
 inverted index caps shingle df (a shingle shared by >`max_shingle_df`
 docs is dropped from pair generation — standard frequency capping,
-logged) so hot shingles cannot produce quadratic pair blowup.
+logged via a per-task warning) so hot shingles cannot produce quadratic
+pair blowup, and the minhash/simhash/embedding LSH paths cap band-bucket
+group size (``max_band_bucket``) the same way.  When any cap fires the
+emitted pair set is a LOWER BOUND of the uncapped result.
+
+Hashing is vectorized: each unique token is md5-hashed once per worker
+(memoized), shingle hashes are a polynomial fold of the token hashes
+mod 2^61-1 (windowed numpy, no per-shingle hashlib calls), and simhash
+is a batched bit-matrix cumsum.  Both derivations are mirrored exactly
+by the DuckDB oracles in ``registry.py`` (DuckDB ``md5`` + HUGEINT
+modular arithmetic).
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +39,51 @@ import pyarrow as pa
 from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
 from web_based_search_engine_ray.util import coalesce
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = (1 << 61) - 1
+#: polynomial base for shingle hashes (mirrored in the SQL oracles)
+SHINGLE_BASE = 1_000_003
+
+# Per-worker token → md5-derived uint64 memo (tokens repeat heavily
+# across documents; md5 per unique token instead of per occurrence).
+_TOKEN_MEMO: dict[str, int] = {}
+_TOKEN_MEMO_CAP = 1 << 20
+
+
+def token_hash(tok: str) -> int:
+    """uint64 from the first 8 bytes (big-endian) of md5(token) —
+    SQL-expressible as ``CAST('0x' || substr(md5(tok),1,16) AS UBIGINT)``."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+
+
+def _batch_token_hash_arrays(texts: list[str]):
+    """Tokenize+lowercase every text and hash tokens in one batched
+    pass: md5 runs once per unique token (worker-memoized), occurrences
+    are mapped back via ``np.unique`` inverse indices.
+
+    Returns ``(hv, offsets)`` — uint64 hash per token occurrence over
+    the whole batch, and int64 doc-frame offsets of length
+    ``len(texts)+1``."""
+    toks_per_doc = [[x.lower() for x in TOKEN_RE.split(t) if x] for t in texts]
+    lens = np.fromiter(
+        (len(x) for x in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+    )
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat = [tok for doc in toks_per_doc for tok in doc]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), offsets
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    memo = _TOKEN_MEMO
+    hv_uniq = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h = memo.get(tok)
+        if h is None:
+            h = token_hash(tok)
+            if len(memo) < _TOKEN_MEMO_CAP:
+                memo[tok] = h
+        hv_uniq[i] = h
+    return hv_uniq[inv], offsets
 
 
 def _unique_pairs(a: np.ndarray, b: np.ndarray):
@@ -47,17 +102,32 @@ def _tokens(text: str) -> list[str]:
     return [t.lower() for t in TOKEN_RE.split(text) if t]
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = _tokens(text)
-    if len(toks) < k:
-        ngrams = [" ".join(toks)] if toks else []
+def _fold_shingles(hv: np.ndarray, k: int) -> np.ndarray:
+    """Unique shingle hashes of one doc's token-hash sequence: each
+    k-window folds as ``s = (s * SHINGLE_BASE + h_i mod p) mod p``
+    (p = 2^61-1).  Docs shorter than ``k`` fold their whole sequence as
+    a single shingle (empty docs yield none) — exactly mirrored by the
+    SQL oracles."""
+    n = len(hv)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    m = hv % np.uint64(_MERSENNE)
+    if n < k:
+        w = m[None, :]
     else:
-        ngrams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    out = {
-        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") & (2**61 - 1)
-        for g in ngrams
-    }
-    return np.fromiter(out, dtype=np.int64, count=len(out))
+        w = np.lib.stride_tricks.sliding_window_view(m, k)
+    s = w[:, 0].copy()
+    base = np.uint64(SHINGLE_BASE)
+    for j in range(1, w.shape[1]):
+        s = (_mulmod_mersenne61(s, base) + w[:, j]) % np.uint64(_MERSENNE)
+    return np.unique(s).astype(np.int64)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Per-doc shingle-hash set (batch path: ``_batch_token_hash_arrays``
+    + ``_fold_shingles``)."""
+    hv, _ = _batch_token_hash_arrays([text])
+    return _fold_shingles(hv, k)
 
 
 # --------------------------------------------------------------------- exact
@@ -104,14 +174,18 @@ def jaccard_dup_pairs(
 ):
     """Exact n-gram Jaccard ≥ threshold pairs via a shingle inverted
     index (co-count / (|A|+|B|-co-count)).  Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    When ``max_shingle_df`` fires (a shingle shared by more docs is
+    skipped, with a warning) the intersection is undercounted while set
+    sizes still include the capped shingles, so emitted pairs/jaccards
+    are a LOWER BOUND of the exact result."""
 
     def shingles(batch: pa.Table) -> pa.Table:
+        hv, offsets = _batch_token_hash_arrays(batch["text"].to_pylist())
         doc_parts, sh_parts, size_parts = [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sh = _shingle_hashes(text, k)
+        for i, did in enumerate(batch["doc_id"].to_pylist()):
+            sh = _fold_shingles(hv[offsets[i]:offsets[i + 1]], k)
             doc_parts.append(np.full(len(sh), did, dtype=np.int64))
             sh_parts.append(sh)
             size_parts.append(np.full(len(sh), len(sh), dtype=np.int64))
@@ -139,10 +213,14 @@ def jaccard_dup_pairs(
         sizes = group["set_size"].to_numpy(zero_copy_only=False)
         uniq, starts = np.unique(sh, return_index=True)
         ends = np.concatenate((starts[1:], [len(sh)]))
+        n_capped = 0
         a_parts, b_parts, sa_parts, sb_parts = [], [], [], []
         for s, e in zip(starts, ends):
             n = e - s
-            if n < 2 or n > max_shingle_df:
+            if n > max_shingle_df:
+                n_capped += 1
+                continue
+            if n < 2:
                 continue
             d = docs[s:e]
             sz = sizes[s:e]
@@ -151,6 +229,11 @@ def jaccard_dup_pairs(
             b_parts.append(d[jj])
             sa_parts.append(sz[ii])
             sb_parts.append(sz[jj])
+        if n_capped:
+            logger.warning(
+                "jaccard_dup_pairs: skipped %d shingles with df > %d "
+                "(pair set is a lower bound)", n_capped, max_shingle_df
+            )
         if not a_parts:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()),
@@ -215,14 +298,11 @@ class MinHasher:
         self.k = k
         self.num_perm = num_perm
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+    def signature_from_shingles(self, sh: np.ndarray) -> np.ndarray:
         if sh.size == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
-        # (num_perm, n) via object->int128 avoidance: use Python ints is
-        # slow; stay in int64 with modular mult via float128-free trick:
-        # p = 2^61-1 fits; a*x can overflow int64 → use uint64 with
-        # splitting (hi*2^32 + lo).
+        # (num_perm, n): p = 2^61-1 fits uint64; a*x can overflow int64
+        # → modular mult with 32-bit splitting (hi*2^32 + lo).
         x = sh.astype(np.uint64)
         a = self.a.astype(np.uint64)[:, None]
         b = self.b.astype(np.uint64)[:, None]
@@ -230,9 +310,16 @@ class MinHasher:
         hv = (prod + b) % np.uint64(_MERSENNE)
         return hv.min(axis=1).astype(np.int64)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self.signature_from_shingles(_shingle_hashes(text, self.k))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        hv, offsets = _batch_token_hash_arrays(batch["text"].to_pylist())
         sigs = [
-            self.signature(t) for t in batch["text"].to_pylist()
+            self.signature_from_shingles(
+                _fold_shingles(hv[offsets[i]:offsets[i + 1]], self.k)
+            )
+            for i in range(batch.num_rows)
         ]
         return pa.table(
             {
@@ -245,16 +332,31 @@ class MinHasher:
 
 
 def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """(a*x) mod (2^61-1) in uint64 without overflow: split a into
-    32-bit halves."""
+    """Exact (a*x) mod (2^61-1) in uint64: 32-bit split of both
+    operands, partial products reduced with 2^61 ≡ 1 (so 2^64 ≡ 8 and
+    h·2^32 ≡ (h >> 29) + ((h mod 2^29) << 32)).  Every intermediate
+    fits uint64 — mirrored exactly by HUGEINT arithmetic in the SQL
+    oracles."""
     p = np.uint64(_MERSENNE)
-    a_hi = a >> np.uint64(32)
-    a_lo = a & np.uint64(0xFFFFFFFF)
-    lo = (a_lo * (x % p)) % p
-    hi = (a_hi * (x % p)) % p
-    # hi * 2^32 mod p
-    hi = (hi << np.uint64(32)) % p
-    return (lo + hi) % p
+    m32 = np.uint64(0xFFFFFFFF)
+    m29 = np.uint64((1 << 29) - 1)
+    a = np.asarray(a, dtype=np.uint64) % p
+    x = np.asarray(x, dtype=np.uint64) % p
+    a_hi = a >> np.uint64(32)  # < 2^29
+    a_lo = a & m32
+    x_hi = x >> np.uint64(32)  # < 2^29
+    x_lo = x & m32
+    t0 = a_lo * x_lo           # < 2^64, exact
+    t1 = a_hi * x_lo + a_lo * x_hi  # < 2^62, exact
+    t2 = a_hi * x_hi           # < 2^58
+    # fold 2^61 out of each partial, then shift t1 by 2^32 and t2 by
+    # 2^64 ≡ 8 without overflow
+    t0 = (t0 >> np.uint64(61)) + (t0 & p)
+    t1 = ((t1 >> np.uint64(61)) + (t1 & p)) % p
+    t1 = (t1 >> np.uint64(29)) + ((t1 & m29) << np.uint64(32))
+    r = t0 + t1 + t2 * np.uint64(8)
+    r = (r >> np.uint64(61)) + (r & p)
+    return r % p
 
 
 def minhash_lsh_pairs(
@@ -265,10 +367,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_band_bucket: int = 4096,
 ):
     """MinHash signatures → band buckets → candidate pairs (doc_a <
     doc_b) with estimated Jaccard = fraction of agreeing permutations.
-    Candidates are deduplicated across bands."""
+    Candidates are deduplicated across bands.
+
+    A band group with more than ``max_band_bucket`` members (a
+    degenerate hot bucket — e.g. a constant-signature corpus) is skipped
+    with a warning instead of generating a quadratic candidate set;
+    exact dedup catches the identical-doc case the cap drops."""
     rows_per_band = num_perm // bands
 
     def _minhash_task(batch: pa.Table) -> pa.Table:
@@ -329,10 +437,17 @@ def minhash_lsh_pairs(
         new[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(new)
         ends = np.concatenate((starts[1:], [len(keys)]))
-        multi = ends - starts >= 2
+        sizes = ends - starts
+        capped = sizes > max_band_bucket
+        if capped.any():
+            logger.warning(
+                "minhash_lsh_pairs: skipped %d band buckets larger than "
+                "%d (max %d members); pair set is a lower bound",
+                int(capped.sum()), max_band_bucket, int(sizes.max()),
+            )
+        multi = (sizes >= 2) & ~capped
         if not multi.any():
             return empty
-        sigs_np = None
         ii_parts, jj_parts = [], []
         for s, e in zip(starts[multi], ends[multi]):
             ii, jj = np.triu_indices(e - s, 1)
@@ -389,42 +504,45 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------- SimHash
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash over tf-weighted token hashes."""
+    """Stage: 64-bit SimHash over tf-weighted token hashes, batched —
+    one bit-matrix + framed cumsum per batch (no per-token Python
+    loop).  Summing ±1 per token OCCURRENCE equals the classic
+    tf-weighted formulation."""
 
-    def __init__(self):
-        pass
+    @staticmethod
+    def simhash_batch(texts: list[str]) -> np.ndarray:
+        hv, offsets = _batch_token_hash_arrays(texts)
+        shifts = np.arange(64, dtype=np.uint64)
+        if len(hv) == 0:
+            return np.zeros(len(texts), dtype=np.uint64)
+        contrib = (
+            2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
+        )  # (n_occ, 64) of ±1
+        cs = np.zeros((len(hv) + 1, 64), dtype=np.int64)
+        np.cumsum(contrib, axis=0, out=cs[1:])
+        acc = cs[offsets[1:]] - cs[offsets[:-1]]  # (n_docs, 64)
+        return ((acc > 0).astype(np.uint64) << shifts).sum(axis=1)
 
     @staticmethod
     def simhash(text: str) -> int:
-        toks = _tokens(text)
-        if not toks:
-            return 0
-        from collections import Counter
-
-        acc = np.zeros(64, dtype=np.int64)
-        for tok, tf in Counter(toks).items():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += tf * (2 * bits.astype(np.int64) - 1)
-        return int(
-            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-        )
+        return int(SimHasher.simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        hs = self.simhash_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 # store as int64 via two's-complement view
-                "simhash": pa.array(
-                    np.array(hs, dtype=np.uint64).view(np.int64), type=pa.int64()
-                ),
+                "simhash": pa.array(hs.view(np.int64), type=pa.int64()),
             }
         )
 
 
-def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
-    """SimHash near-dup pairs: 16-bit band LSH → verify Hamming ≤ t."""
+def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
+                  max_band_bucket: int = 4096):
+    """SimHash near-dup pairs: 16-bit band LSH → verify Hamming ≤ t.
+    Band groups larger than ``max_band_bucket`` are skipped with a
+    warning (lower-bound semantics, same as minhash)."""
     sigs = ds.map_batches(
         lambda b: SimHasher()(b), batch_format="pyarrow"
     )
@@ -464,7 +582,14 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
         new[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(new)
         ends = np.concatenate((starts[1:], [len(keys)]))
-        multi = ends - starts >= 2
+        sizes = ends - starts
+        capped = sizes > max_band_bucket
+        if capped.any():
+            logger.warning(
+                "simhash_pairs: skipped %d band buckets larger than %d; "
+                "pair set is a lower bound", int(capped.sum()), max_band_bucket,
+            )
+        multi = (sizes >= 2) & ~capped
         if not multi.any():
             return empty
         ii_parts, jj_parts = [], []
@@ -525,7 +650,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4):
 
 # ------------------------------------------------------- embedding near-dup
 def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
-                        n_tables: int = 4, seed: int = 7, dim: int = 64):
+                        n_tables: int = 4, seed: int = 7, dim: int = 64,
+                        max_band_bucket: int = 4096):
     """Random-hyperplane LSH near-dup pairs (the scale path): vectors
     sharing a sign-pattern bucket in ANY of ``n_tables`` hash tables
     become candidates; candidates are verified with exact cosine.
@@ -578,7 +704,15 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
         new[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(new)
         ends = np.concatenate((starts[1:], [len(keys)]))
-        multi = ends - starts >= 2
+        sizes = ends - starts
+        capped = sizes > max_band_bucket
+        if capped.any():
+            logger.warning(
+                "embedding_dup_pairs: skipped %d LSH buckets larger than "
+                "%d; pair set is a lower bound",
+                int(capped.sum()), max_band_bucket,
+            )
+        multi = (sizes >= 2) & ~capped
         if not multi.any():
             return empty
         emb = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)

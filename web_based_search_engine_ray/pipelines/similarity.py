@@ -78,12 +78,14 @@ class IvfIndex:
     cosine within probed clusters.
     """
 
-    def __init__(self, n_clusters: int = 16, iters: int = 5, seed: int = 42):
+    def __init__(self, n_clusters: int = 16, iters: int = 5, seed: int = 42,
+                 store_dir: str | None = None):
         self.n_clusters = n_clusters
         self.iters = iters
         self.seed = seed
         self.centroids: np.ndarray | None = None
-        self._assigned = None  # Dataset with cluster column
+        self.store_dir = store_dir  # cluster-partitioned parquet
+        self._cluster_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def fit(self, ds):
         import ray
@@ -138,27 +140,64 @@ class IvfIndex:
             a = np.argmax(emb @ c.T, axis=1)
             return batch.append_column("cluster", pa.array(a, type=pa.int64()))
 
-        self._assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+        # Persist the assignment partitioned BY CLUSTER: queries then
+        # read only the probed partitions (resumable, and at cluster
+        # scale each partition is a bounded slice instead of a full
+        # dataset scan per query).
+        if self.store_dir is None:
+            import tempfile
+
+            self.store_dir = tempfile.mkdtemp(prefix="ivf_store_")
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            self.store_dir, partition_cols=["cluster"]
+        )
+        self._cluster_cache = {}
         return self
+
+    def _cluster_vectors(self, cluster: int) -> tuple[np.ndarray, np.ndarray]:
+        """(vec_ids, normalized matrix) of one cluster partition —
+        loaded once, memoized."""
+        hit = self._cluster_cache.get(cluster)
+        if hit is not None:
+            return hit
+        import os
+
+        import pyarrow.dataset as pads
+
+        part = os.path.join(self.store_dir, f"cluster={cluster}")
+        if not os.path.isdir(part):
+            out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
+        else:
+            t = pads.dataset(part, format="parquet").to_table(
+                columns=["vec_id", "embedding"]
+            )
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            emb = _normalize(np.asarray(t["embedding"].to_pylist(),
+                                        dtype=np.float64))
+            out = (ids, emb)
+        self._cluster_cache[cluster] = out
+        return out
 
     def search(self, query_vecs: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
         assert self.centroids is not None, "fit() first"
         q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
         out = []
         for qid, qv in enumerate(q):
-            probes = np.argsort(-(self.centroids @ qv))[:nprobe].tolist()
-            cand = self._assigned.filter(
-                expr=f"cluster in {probes}"
-            ).to_pandas()
-            emb = _normalize(np.asarray(cand["embedding"].tolist(), dtype=np.float64))
+            probes = np.argsort(-(self.centroids @ qv))[:nprobe]
+            parts = [self._cluster_vectors(int(c)) for c in probes]
+            parts = [p for p in parts if len(p[0])]
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            emb = np.vstack([p[1] for p in parts])
             sim = emb @ qv
-            order = np.lexsort((cand["vec_id"].to_numpy(), -sim))[:k]
+            order = np.lexsort((ids, -sim))[:k]
             for rank, i in enumerate(order):
                 out.append(
                     {
                         "query_id": qid,
                         "rank": rank,
-                        "vec_id": int(cand["vec_id"].iloc[i]),
+                        "vec_id": int(ids[i]),
                         "cosine": float(sim[i]),
                     }
                 )

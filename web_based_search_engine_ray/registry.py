@@ -198,12 +198,39 @@ def q_docmeta(sf_dir: str):
 
 
 def q_search_stemmed(sf_dir: str):
-    """Rows-only: the full stemmed engine (Porter + stopwords)."""
+    """Rows-only (stemming isn't SQL-expressible), but self-verifying:
+    the result is asserted doc-for-doc and score-for-score (1e-12)
+    against the in-package literal oracle (record-at-a-time
+    re-implementation of the reference semantics) before returning."""
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.oracle import OracleIndex
     from web_based_search_engine_ray.pipelines.search import Searcher
 
     idx = get_index(sf_dir, IndexConfig())
     s = Searcher(idx)
-    return s.search({"sparking", "merged", "windows"}, k=50, hydrate=False)
+    words = {"sparking", "merged", "windows"}
+    res = s.search(words, k=50, hydrate=False)
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    oi = OracleIndex()
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        oi.add_document(did, f"Doc {did}", text)
+    orc = oi.search(words, ())
+    full = s.search(words, k=10**9, hydrate=False)
+    eng_map = dict(zip(full["doc_id"].tolist(), full["score"].tolist()))
+    if set(eng_map) != set(orc):
+        raise AssertionError(
+            f"search_stemmed doc-set mismatch: {len(eng_map)} vs {len(orc)}"
+        )
+    worst = max(
+        (abs(eng_map[d] - orc[d]) for d in orc if orc[d] == orc[d]), default=0.0
+    )
+    if worst > 1e-12:
+        raise AssertionError(f"search_stemmed score mismatch: {worst}")
+    return res
 
 
 def q_stemmed_conformance(sf_dir: str):
@@ -545,6 +572,219 @@ def queries():
     }
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _lang_profile_sql() -> str:
+    """CASE/GREATEST mirror of pipelines.text_pipeline.LangIdHeuristic
+    (tie-break = first language in en,de,fr,es order, strict >)."""
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        _LANG_PROFILES,
+    )
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+
+    toks = _TOKS.format(s="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lower(unnest({toks})) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, COUNT(*) AS n,
+                SUM(CASE WHEN tok IN ({inlist('en')}) THEN 1 ELSE 0 END) AS h_en,
+                SUM(CASE WHEN tok IN ({inlist('de')}) THEN 1 ELSE 0 END) AS h_de,
+                SUM(CASE WHEN tok IN ({inlist('fr')}) THEN 1 ELSE 0 END) AS h_fr,
+                SUM(CASE WHEN tok IN ({inlist('es')}) THEN 1 ELSE 0 END) AS h_es
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+            CASE WHEN c.doc_id IS NULL
+                      OR GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                 WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                 WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                 WHEN h_fr >= h_es THEN 'fr'
+                 ELSE 'es' END AS lang_pred,
+            CASE WHEN c.doc_id IS NULL THEN 0.0
+                 ELSE CAST(GREATEST(h_en, h_de, h_fr, h_es) AS DOUBLE) / c.n
+                 END AS lang_conf
+        FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """Mirror of pipelines.dedup.simhash_pairs: 64-bit tf-weighted
+    simhash from md5 token hashes, 4×16-bit band LSH (a pair is emitted
+    iff it shares at least one exact band) + Hamming ≤ t."""
+    toks = _TOKS.format(s="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lower(unnest({toks})) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        th AS (
+            SELECT doc_id, tf,
+                   CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+            FROM tf
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS bit,
+                   SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN tf ELSE -tf END) AS acc
+            FROM th, (SELECT unnest(range(64)) AS b) b
+            GROUP BY doc_id, b.b
+        ),
+        bands AS (
+            SELECT doc_id, bit // 16 AS band,
+                   SUM(CASE WHEN acc > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INTEGER))
+                            ELSE 0 END) AS bval
+            FROM bits GROUP BY doc_id, bit // 16
+        ),
+        docbands AS (
+            SELECT d.doc_id,
+                COALESCE(MAX(CASE WHEN band = 0 THEN bval END), 0) AS b0,
+                COALESCE(MAX(CASE WHEN band = 1 THEN bval END), 0) AS b1,
+                COALESCE(MAX(CASE WHEN band = 2 THEN bval END), 0) AS b2,
+                COALESCE(MAX(CASE WHEN band = 3 THEN bval END), 0) AS b3
+            FROM documents d LEFT JOIN bands ON d.doc_id = bands.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                      AS BIGINT) AS hamming,
+                   (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+                       AS shares_band
+            FROM docbands a JOIN docbands b ON a.doc_id < b.doc_id
+        ) WHERE shares_band AND hamming <= {max_hamming}
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    """Mirror of pipelines.dedup.minhash_lsh_pairs (k=3, 64 perms, 16
+    bands of 4 rows, threshold 0.5): md5 token hashes → polynomial
+    shingle fold mod 2^61-1 → per-permutation min → pairs sharing ≥1
+    exact band with ≥32/64 agreeing permutations.  The permutation
+    constants are the engine's seeded values, inlined.  (The engine
+    buckets by an FNV mix of the band values — collision probability is
+    ~2^-64, so exact band equality is the oracle contract.)"""
+    from web_based_search_engine_ray.pipelines.dedup import (
+        SHINGLE_BASE,
+        MinHasher,
+    )
+
+    mh = MinHasher(k=3, num_perm=64, seed=42)
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    toks = _TOKS.format(s="text")
+    p = _MERSENNE61
+    A = SHINGLE_BASE
+    return f"""
+        WITH perms(perm, pa, pb) AS (VALUES {perm_rows}),
+        toks AS (
+            SELECT doc_id, lower(unnest({toks})) AS tok,
+                   unnest(range(len({toks}))) AS pos
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, pos,
+                   CAST(CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT)
+                        % {p} AS BIGINT) AS h
+            FROM toks
+        ),
+        nt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+        sh3 AS (
+            SELECT a.doc_id,
+                   CAST((CAST((CAST(a.h AS HUGEINT) * {A} + b.h) % {p} AS HUGEINT)
+                         * {A} + c.h) % {p} AS BIGINT) AS x
+            FROM th a
+            JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            JOIN nt ON nt.doc_id = a.doc_id AND nt.n >= 3
+        ),
+        sh2 AS (
+            SELECT a.doc_id,
+                   CAST((CAST(a.h AS HUGEINT) * {A} + b.h) % {p} AS BIGINT) AS x
+            FROM th a
+            JOIN th b ON a.doc_id = b.doc_id AND a.pos = 0 AND b.pos = 1
+            JOIN nt ON nt.doc_id = a.doc_id AND nt.n = 2
+        ),
+        sh1 AS (
+            SELECT th.doc_id, th.h AS x
+            FROM th JOIN nt ON nt.doc_id = th.doc_id AND nt.n = 1
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, x FROM (
+                SELECT * FROM sh3 UNION ALL
+                SELECT * FROM sh2 UNION ALL
+                SELECT * FROM sh1
+            )
+        ),
+        sig AS (
+            SELECT s.doc_id, p.perm,
+                   MIN(CAST((CAST(p.pa AS HUGEINT) * s.x + p.pb) % {p}
+                            AS BIGINT)) AS mv
+            FROM shingles s CROSS JOIN perms p
+            GROUP BY s.doc_id, p.perm
+        ),
+        allsig AS (
+            SELECT * FROM sig
+            UNION ALL
+            SELECT d.doc_id, p.perm, {p} AS mv
+            FROM (SELECT doc_id FROM documents
+                  EXCEPT SELECT doc_id FROM nt) d
+            CROSS JOIN perms p
+        ),
+        pairband AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.perm // 4 AS band,
+                   SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS band_agree
+            FROM allsig a
+            JOIN allsig b ON a.perm = b.perm AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.perm // 4
+        ),
+        pairstats AS (
+            SELECT doc_a, doc_b, SUM(band_agree) AS matches,
+                   MAX(CASE WHEN band_agree = 4 THEN 1 ELSE 0 END) AS shares
+            FROM pairband GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 64 AS est_jaccard
+        FROM pairstats WHERE shares = 1 AND matches >= 32
+    """
+
+
+def _media_features_sql() -> str:
+    """Mirror of pipelines.multimodal._decode_fake over the synthesized
+    html payload: width/height = 64 + first/second md5 byte.  The html
+    string is rebuilt with the exact html.escape replacement chain."""
+    esc = (
+        "replace(replace(replace(replace(replace(text, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), chr(39), '&#x27;')"
+    )
+    link = (
+        "'<a href=\"https://corpus.example.com/' || "
+        "printf('%012d', doc_id + {off}) || '.html\"></a>'"
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                || '</title></head><body><p>' || {esc} || '</p>'
+                || {link.format(off=1)} || {link.format(off=7)}
+                || {link.format(off=42)} || '</body></html>' AS html
+            FROM documents
+        )
+        SELECT doc_id,
+            CAST(64 + CAST(concat('0x', substr(md5(html), 1, 2)) AS INTEGER)
+                 AS INTEGER) AS width,
+            CAST(64 + CAST(concat('0x', substr(md5(html), 3, 2)) AS INTEGER)
+                 AS INTEGER) AS height
+        FROM h
+    """
+
+
 def oracle_sql():
     toks = _TOKS.format(s="text")
     title_toks = _TOKS.format(s=_SQL_TITLE)
@@ -692,6 +932,10 @@ def oracle_sql():
                    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
+        "langid": _lang_profile_sql(),
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=8),
+        "minhash_pairs": _minhash_pairs_sql(),
+        "media_features": _media_features_sql(),
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         """,
