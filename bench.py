@@ -144,6 +144,13 @@ def run_bench() -> dict:
             "queries_per_sec": round(N_QUERIES / timings["search_batch"], 1),
         }
 
+    # re-warm the task-worker pool: the shard actors' shutdown reaps
+    # workers, and the first dataop would otherwise pay ~2 s of process
+    # respawn that has nothing to do with the measured operator
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
     # materialize the (small) inputs once: the dataops legs measure the
     # operators, not a repeated parquet read+split (~2 s of fixed cost
     # per lazy re-execution at this scale)

@@ -24,10 +24,20 @@ def test_format_result_block(ray_session, tmp_path_factory):
         "child_links": ["https://x/2", "https://x/3"],
     }
     block = format_result(row)
-    assert block.splitlines()[0] == "0.7348\tDoc 1"
-    assert "\tmerg 3; spark 1" in block
-    assert "\tParent: https://x/0" in block
-    assert block.count("Child:") == 2
+    # layout-exact vs SearchResult.toResultFormat: trailing "; " on the
+    # keyword line, "Parent Links:"/"Child Links:" header lines, one
+    # indented url per line
+    assert block == (
+        "0.7348\tDoc 1\n"
+        "\thttps://x/1\n"
+        "\t2024-01-01 00:00:01, 123\n"
+        "\tmerg 3; spark 1; \n"
+        "\tParent Links:\n"
+        "\thttps://x/0\n"
+        "\tChild Links:\n"
+        "\thttps://x/2\n"
+        "\thttps://x/3\n"
+    )
     assert format_results(pd.DataFrame([row, row])).count("0.7348\t") == 2
 
 

@@ -49,6 +49,35 @@ def test_prune_rank_identical(idx, k):
         )
 
 
+def test_segments_carry_block_max_metadata(idx):
+    import os
+
+    import pyarrow.dataset as pads
+
+    seg = pads.dataset(
+        os.path.join(idx, "segments"), format="parquet", partitioning="hive"
+    ).to_table(columns=["min_doc", "max_doc", "ub_run", "df_run"])
+    mn = seg["min_doc"].to_numpy(zero_copy_only=False)
+    mx = seg["max_doc"].to_numpy(zero_copy_only=False)
+    ub = seg["ub_run"].to_numpy(zero_copy_only=False)
+    assert (mn <= mx).all()
+    assert (ub > 0).all() and (ub <= 1.0).all()
+
+
+def test_restricted_phase_skips_runs(idx):
+    """On a restricted-eligible query (tiny k, one dominant rare term +
+    common terms) the block-max path must decode fewer runs than it
+    considers, while staying rank-identical (covered above)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    words = {"42", "merge", "join", "batch", "stream", "window"}
+    s.search(words, k=1, hydrate=False, prune=True)
+    stats = s.run_stats
+    assert stats["considered"] > 0
+    assert stats["decoded"] <= stats["considered"]
+
+
 def test_prune_actually_restricts(idx):
     """With small k on a query mixing one rare and several common terms,
     the pruning path must enter restricted mode (observable via fewer

@@ -39,6 +39,35 @@ def test_sharded_build_partitions_exist(indexes):
     _, shard_dir = indexes
     parts = sorted(os.listdir(os.path.join(shard_dir, "segments")))
     assert parts == [f"doc_shard={i}" for i in range(4)]
+    # docstats is partitioned the same way, so a shard Searcher loads
+    # only its 1/shards slice of doc state
+    sparts = sorted(
+        p for p in os.listdir(os.path.join(shard_dir, "docstats"))
+        if p.startswith("doc_shard=")
+    )
+    assert sparts == [f"doc_shard={i}" for i in range(4)]
+
+
+def test_brokered_batch_search_matches_driver_merge(indexes):
+    from web_based_search_engine_ray.pipelines.search import ShardedSearcher
+
+    _, shard_dir = indexes
+    sharded = ShardedSearcher(shard_dir, num_cpus_per_shard=0.5)
+    try:
+        queries = ["spark merge", '"batch batch" window', "doc table",
+                   "key fast join", "zzznope"]
+        plain = sharded.batch_search(queries, k=10, n_brokers=0)
+        brokered = sharded.batch_search(queries, k=10, n_brokers=2)
+        pa = plain.sort_values(["query_id", "rank"], ignore_index=True)
+        pb = brokered.sort_values(["query_id", "rank"], ignore_index=True)
+        assert pa["doc_id"].tolist() == pb["doc_id"].tolist()
+        assert pa["query_id"].tolist() == pb["query_id"].tolist()
+        np.testing.assert_allclose(
+            pa["score"].to_numpy(np.float64),
+            pb["score"].to_numpy(np.float64), rtol=1e-12,
+        )
+    finally:
+        sharded.shutdown()
 
 
 def test_sharded_results_identical(indexes):

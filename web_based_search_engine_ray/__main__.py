@@ -4,6 +4,7 @@
     python -m web_based_search_engine_ray update --sf-dir DIR --out IDX
     python -m web_based_search_engine_ray search --index IDX "words..." [--phrase "a b"] [-k N]
     python -m web_based_search_engine_ray print  --index IDX
+    python -m web_based_search_engine_ray server --index IDX [--port N]
 
 The CLI owns the Ray session (guarded init); library code never does.
 """
@@ -54,6 +55,10 @@ def main(argv=None):
     d.add_argument("--index", required=True)
     d.add_argument("--max-rows", type=int, default=20)
 
+    v = sub.add_parser("server", help="serve / and /result over an index")
+    v.add_argument("--index", required=True)
+    v.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
     ray = _ray()
     try:
@@ -103,6 +108,10 @@ def main(argv=None):
             from web_based_search_engine_ray.pipelines.search import dump_index
 
             print(dump_index(args.index, max_rows=args.max_rows))
+        elif args.cmd == "server":
+            from web_based_search_engine_ray.pipelines.server import serve
+
+            serve(args.index, port=args.port)
     finally:
         ray.shutdown()
 

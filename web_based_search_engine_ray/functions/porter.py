@@ -217,8 +217,20 @@ def _strip_suffixes(s: str) -> str:
 
 
 def _clean(s: str) -> str:
-    # Porter.java:30-41 — keep only letter-or-digit chars.
-    return "".join(ch for ch in s if ch.isalnum())
+    # Porter.java:30-41 — keep only letter-or-digit chars.  Matches
+    # Java's Character.isLetterOrDigit (categories L* and Nd): Python's
+    # str.isalnum also accepts No/Nl number characters ('²', '½'),
+    # which Java rejects, so non-ASCII chars get an explicit category
+    # test.  (Tokenizer output is ASCII-only; the slow path exists for
+    # direct strip_affixes callers.)
+    if s.isascii():
+        return "".join(ch for ch in s if ch.isalnum())
+    import unicodedata
+
+    return "".join(
+        ch for ch in s
+        if (cat := unicodedata.category(ch)).startswith("L") or cat == "Nd"
+    )
 
 
 def strip_affixes(word: str) -> str:

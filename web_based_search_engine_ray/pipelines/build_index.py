@@ -16,14 +16,15 @@ manifest (resume skips complete stages):
     segments/    tokenize+encode (task pool w/ per-worker state) → one
                  compressed posting run per (term, block) — local
                  index, NO shuffle of raw postings — then compaction
-                 merges runs per (doc_shard, term-bucket)
+                 merges runs per (doc_shard, term-bucket); each run
+                 carries block-max metadata (min/max doc, score bound)
                                      [shuffle: term bucket, compressed]
-      ├─ lexicon/   term → df = Σ df_run           [shuffle: term, small]
+    forward/     second doc-local tokenize pass → per-doc term/tf lists
+                 + tfMax                                  [no shuffle]
+      ├─ lexicon/   term → df, ub_adj              [shuffle: term, small]
       ▼
-    forward/     segments exploded with df → groupby(doc bucket)
-                 → per-doc term/tf/df lists + tfMax [shuffle: doc bucket]
-      ▼
-    docstats/    + N (=forward rowcount) → doc_len_norm
+    docstats/    forward × broadcast(lexicon df) → doc_len_norm,
+                 partitioned by doc_shard          [no shuffle]
       ▼
     meta.json    N, config, stage metrics
 
@@ -49,11 +50,10 @@ from web_based_search_engine_ray.config import IndexConfig
 from web_based_search_engine_ray.functions.hashing import stable_hash63
 from web_based_search_engine_ray.stages.extract import Extractor
 from web_based_search_engine_ray.stages.postings import (
+    ForwardRows,
     TokenizeEncode,
     compact_bucket,
     doc_stats_batch,
-    explode_segment_rows,
-    forward_bucket_group,
 )
 from web_based_search_engine_ray.state import manifest as mf
 
@@ -111,6 +111,15 @@ def _tokenize_encode_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
 
     inst = worker_singleton(
         ("tokenize_encode", cfg.semantic_key()), lambda: TokenizeEncode(cfg)
+    )
+    return inst(batch)
+
+
+def _forward_rows_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
+    from web_based_search_engine_ray.util import worker_singleton
+
+    inst = worker_singleton(
+        ("forward_rows", cfg.semantic_key()), lambda: ForwardRows(cfg)
     )
     return inst(batch)
 
@@ -401,31 +410,23 @@ def build_index(
 
     results.append(mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume))
 
-    # ---- stage: forward (doc shuffle over exploded segments) ---------------
-    fp_fwd = _fp("forward", fp_seg)
+    # ---- stage: forward (doc-local second tokenize pass — NO shuffle) ------
+    fp_fwd = _fp("forward", fp_ext, sem)
     d_fwd = os.path.join(out_dir, "forward")
 
     def _build_forward(stage_dir: str) -> int:
-        ds = rd.read_parquet(d_seg)
-        # explode runs per bucket so df = Σ df_run is complete (all runs
-        # of a term share its bucket)
-        ds = ds.repartition(_shuffle_parts(cfg))
-        flat = ds.groupby("bucket").map_groups(
-            explode_segment_rows, batch_format="pyarrow"
+        # a doc's forward row is known the moment it is tokenized, so
+        # this stage is a pure map over extracted docs.  It replaces the
+        # earlier segments-explode derivation that paid a decode + two
+        # full-posting-volume shuffles to reach the same rows.
+        ds = rd.read_parquet(
+            ext_sources, columns=["doc_id", "title", "text"],
+            override_num_blocks=_shuffle_parts(cfg),
         )
-        flat = flat.map_batches(
-            lambda b: b.append_column(
-                "doc_bucket",
-                pa.array(
-                    b["doc_id"].to_numpy(zero_copy_only=False) % cfg.num_buckets,
-                    type=pa.int64(),
-                ),
-            ),
+        fwd = ds.map_batches(
+            functools.partial(_forward_rows_task, cfg=cfg),
             batch_format="pyarrow",
-        )
-        flat = flat.repartition(_shuffle_parts(cfg))
-        fwd = flat.groupby("doc_bucket").map_groups(
-            forward_bucket_group, batch_format="pyarrow"
+            batch_size=cfg.tokenize_batch_size,
         )
         fwd.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
         return _count_parquet(stage_dir)
@@ -440,15 +441,19 @@ def build_index(
     def _build_lexicon(stage_dir: str) -> int:
         from ray.data.aggregate import Max
 
+        # read at shuffle parallelism: the groupby below then needs no
+        # extra repartition pass (partials are one row per distinct term
+        # per block — already combiner-compressed)
         ds = rd.read_parquet(
-            d_fwd, columns=["terms", "title_tfs", "body_tfs", "tf_max"]
+            d_fwd, columns=["terms", "title_tfs", "body_tfs", "tf_max"],
+            override_num_blocks=_shuffle_parts(cfg),
         )
         partials = ds.map_batches(
             functools.partial(_lexicon_partials, title_weight=cfg.title_weight),
             batch_format="pyarrow",
         )
         lex = (
-            partials.repartition(_shuffle_parts(cfg))
+            partials
             .groupby("term")
             .aggregate(
                 Sum("df_part", alias_name="df"),
@@ -461,18 +466,54 @@ def build_index(
     results.append(mf.run_stage(d_lex, fp_lex, _build_lexicon, resume=resume))
 
     # ---- stage: docstats ---------------------------------------------------
-    fp_stats = _fp("docstats", fp_fwd, str(n_docs))
+    fp_stats = _fp("docstats", fp_fwd, fp_lex, str(n_docs))
     d_stats = os.path.join(out_dir, "docstats")
 
     def _build_docstats(stage_dir: str) -> int:
+        import pyarrow.dataset as pads
+        import ray
+
+        # broadcast the lexicon df map once (tiny vs posting volume)
+        lex = pads.dataset(d_lex, format="parquet").to_table(
+            columns=["term", "df"]
+        )
+        df_ref = ray.put(dict(zip(lex["term"].to_pylist(),
+                                  lex["df"].to_pylist())))
+        # read at the block count we want on disk: a partitioned write
+        # fans out to blocks × shards files, and an extra repartition
+        # pass would cost more than it saves at small scale
+        n_blocks = max(1, min(_shuffle_parts(cfg),
+                              128 // max(1, cfg.doc_shards)))
         ds = rd.read_parquet(
-            d_fwd, columns=["doc_id", "title_tfs", "body_tfs", "dfs", "tf_max"]
+            d_fwd, columns=["doc_id", "terms", "title_tfs", "body_tfs",
+                            "tf_max"],
+            override_num_blocks=n_blocks,
         )
         stats = ds.map_batches(
-            functools.partial(doc_stats_batch, n_docs=n_docs),
+            functools.partial(doc_stats_batch, n_docs=n_docs, df_ref=df_ref),
             batch_format="pyarrow",
         )
-        stats.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        if cfg.doc_shards > 1:
+            # partition by doc shard so each shard Searcher reads ONLY
+            # its slice (per-actor state scales 1/shards).  Coalesce
+            # first: a partitioned write fans out to blocks × shards
+            # files, and docstats blocks are tiny (24 B/doc).
+            stats = stats.map_batches(
+                lambda b: b.append_column(
+                    "doc_shard",
+                    pa.array(
+                        b["doc_id"].to_numpy(zero_copy_only=False)
+                        % cfg.doc_shards,
+                        type=pa.int32(),
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            stats.write_parquet(stage_dir, partition_cols=["doc_shard"])
+        else:
+            stats.write_parquet(
+                stage_dir, min_rows_per_file=cfg.min_rows_per_file
+            )
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_stats, fp_stats, _build_docstats, resume=resume))

@@ -24,13 +24,14 @@ Reproduces the reference search path exactly (``Indexer.search``,
   ``Indexer.java:194-231``) touches only the k result rows via
   filtered parquet reads.
 
-Scale note (10^12 docs): this ``Searcher`` keeps lexicon + docstats
-in worker memory and reads posting runs via bucket-pruned parquet —
-the per-node footprint is docstats (16 B/doc), which is the sharding
-axis: at full scale searchers shard by ``doc_id`` range behind a
-scatter-gather (each shard scores its docs, partial top-k heaps are
-merged), which composes with this implementation unchanged.  Batch
-query workloads run it as an actor pool (``batch_search``).
+Scale note (10^12 docs): a shard ``Searcher`` reads ONLY its
+``docstats/doc_shard=<s>`` partition (per-actor doc state scales
+1/shards), keeps the lexicon as sorted Arrow arrays with binary-search
+lookup (no vocabulary-sized Python dict), and reads posting runs via
+bucket-pruned parquet with per-run block-max metadata for decode
+skipping.  Searchers shard by ``doc_id`` behind a scatter-gather
+(``ShardedSearcher``); batch query workloads fan out across broker
+actors that share the shard actors (``batch_search``).
 """
 
 from __future__ import annotations
@@ -83,30 +84,47 @@ class Searcher:
         self._post_cache: dict[str, tuple | None] = {}
         self._pos_cache: dict[str, tuple | None] = {}
         self._partial_cache: dict[str, tuple | None] = {}
+        #: decode counters (block-max pruning effectiveness measurement)
+        self.run_stats = {"considered": 0, "decoded": 0}
 
+        # Lexicon kept as SORTED Arrow arrays with binary-search lookup
+        # (no Python dict of the whole vocabulary: a web-scale vocab as
+        # a dict is tens of GB per actor; the Arrow buffers stay compact
+        # and could be memory-mapped / bucket-sharded at larger scale).
         lex = pads.dataset(
             os.path.join(index_dir, "lexicon"), format="parquet"
-        ).to_table()
-        self.lexicon: dict[str, int] = dict(
-            zip(lex["term"].to_pylist(), lex["df"].to_pylist())
-        )
-        # per-term score upper bound (before idf): max over docs of
-        # adjTF/tfMax — fuels rank-safe MaxScore pruning
-        self.term_ub: dict[str, float] = (
-            dict(zip(lex["term"].to_pylist(), lex["ub_adj"].to_pylist()))
+        ).to_table().sort_by("term")
+        self._lex_terms = lex["term"].combine_chunks()
+        self._lex_df = lex["df"].to_numpy(zero_copy_only=False)
+        self._lex_ub = (
+            lex["ub_adj"].to_numpy(zero_copy_only=False)
             if "ub_adj" in lex.column_names
-            else {}
+            else None
         )
 
-        stats = pads.dataset(
-            os.path.join(index_dir, "docstats"), format="parquet"
-        ).to_table().sort_by("doc_id")
-        if doc_shard is not None:
-            n_shards = max(1, self.cfg.doc_shards)
-            ids = stats["doc_id"].to_numpy(zero_copy_only=False)
-            stats = stats.filter(
-                pa.array(ids % n_shards == doc_shard)
-            )
+        # docstats: shard Searchers read ONLY their partition (the
+        # build writes docstats/doc_shard=<s>/ when doc_shards > 1);
+        # fall back to an in-memory filter for unpartitioned layouts.
+        d_stats = os.path.join(index_dir, "docstats")
+        part = (
+            os.path.join(d_stats, f"doc_shard={doc_shard}")
+            if doc_shard is not None
+            else None
+        )
+        if part is not None and os.path.isdir(part):
+            stats = pads.dataset(part, format="parquet").to_table(
+                columns=["doc_id", "tf_max", "doc_len_norm"]
+            ).sort_by("doc_id")
+        else:
+            stats = pads.dataset(d_stats, format="parquet").to_table(
+                columns=["doc_id", "tf_max", "doc_len_norm"]
+            ).sort_by("doc_id")
+            if doc_shard is not None:
+                n_shards = max(1, self.cfg.doc_shards)
+                ids = stats["doc_id"].to_numpy(zero_copy_only=False)
+                stats = stats.filter(
+                    pa.array(ids % n_shards == doc_shard)
+                )
         self._stat_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
         self._tf_max = stats["tf_max"].to_numpy(zero_copy_only=False).astype(np.float64)
         self._norm = stats["doc_len_norm"].to_numpy(zero_copy_only=False)
@@ -133,6 +151,32 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ utils
+    def _lex_index(self, term: str) -> int:
+        """Binary search over the sorted Arrow term column — O(log V)
+        ``.as_py()`` probes per lookup, no vocabulary-sized Python
+        structure."""
+        arr = self._lex_terms
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return lo
+        return -1
+
+    def lex_df(self, term: str) -> int:
+        i = self._lex_index(term)
+        return int(self._lex_df[i]) if i >= 0 else 0
+
+    def lex_ub(self, term: str) -> float:
+        if self._lex_ub is None:
+            return math.inf
+        i = self._lex_index(term)
+        return float(self._lex_ub[i]) if i >= 0 else math.inf
+
     def stem_query_word(self, word: str) -> str | None:
         return stem_word(
             word,
@@ -140,11 +184,14 @@ class Searcher:
             use_stemming=self.cfg.use_stemming,
         )
 
-    def _term_runs(self, term: str, columns: list[str]) -> pa.Table:
+    def _term_runs(self, term: str, columns: list[str],
+                   extra_filter=None) -> pa.Table:
         bucket = stable_hash63(term) % self.cfg.num_buckets
         flt = (pc.field("bucket") == bucket) & (pc.field("term") == term)
         if self.doc_shard is not None:
             flt = flt & (pc.field("doc_shard") == self.doc_shard)
+        if extra_filter is not None:
+            flt = flt & extra_filter
         return self._segments.to_table(columns=columns, filter=flt)
 
     def postings(self, term: str):
@@ -161,6 +208,8 @@ class Searcher:
         t = self._term_runs(term, ["df_run", "doc_gaps", "title_tfs", "body_tfs"])
         if t.num_rows == 0:
             return None
+        self.run_stats["considered"] += t.num_rows
+        self.run_stats["decoded"] += t.num_rows
         ids_parts, ttf_parts, btf_parts = [], [], []
         for i in range(t.num_rows):
             ids_parts.append(codec.decode_sorted(t["doc_gaps"][i].as_py()))
@@ -256,6 +305,56 @@ class Searcher:
         ids, vals = self.scores_arrays(words, k=k, prune=prune)
         return dict(zip(ids.tolist(), vals.tolist()))
 
+    def _partial_for_candidates(self, term: str, df: int,
+                                cand_ids: np.ndarray):
+        """Restricted-phase decode: only runs whose [min_doc, max_doc]
+        range contains at least one candidate are decoded (block-max
+        run skipping; the parquet filter also pushes the range test
+        down to row groups).  Returns (ids, partial) of the decoded
+        runs — exact contributions for every candidate doc."""
+        if not len(cand_ids):
+            return None
+        flt = (pc.field("max_doc") >= int(cand_ids[0])) & (
+            pc.field("min_doc") <= int(cand_ids[-1])
+        )
+        t = self._term_runs(
+            term,
+            ["df_run", "min_doc", "max_doc", "doc_gaps", "title_tfs",
+             "body_tfs"],
+            extra_filter=flt,
+        )
+        if t.num_rows == 0:
+            return None
+        mins = t["min_doc"].to_numpy(zero_copy_only=False)
+        maxs = t["max_doc"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(cand_ids, mins, side="left")
+        hi = np.searchsorted(cand_ids, maxs, side="right")
+        need = hi > lo
+        self.run_stats["considered"] += t.num_rows
+        self.run_stats["decoded"] += int(need.sum())
+        if not need.any():
+            return None
+        ids_parts, ttf_parts, btf_parts = [], [], []
+        for i in np.flatnonzero(need):
+            i = int(i)
+            ids_parts.append(codec.decode_sorted(t["doc_gaps"][i].as_py()))
+            ttf_parts.append(
+                codec.varbyte_decode(t["title_tfs"][i].as_py()).astype(np.int64)
+            )
+            btf_parts.append(
+                codec.varbyte_decode(t["body_tfs"][i].as_py()).astype(np.int64)
+            )
+        ids = np.concatenate(ids_parts)
+        ttf = np.concatenate(ttf_parts)
+        btf = np.concatenate(btf_parts)
+        order = np.argsort(ids, kind="stable")
+        ids, ttf, btf = ids[order], ttf[order], btf[order]
+        idf = math.log10(self.n_docs / df)
+        a = self.cfg.title_weight
+        adj = a * ttf + (1.0 - a) * btf
+        pos = np.searchsorted(self._stat_ids, ids)
+        return ids, adj * idf / self._tf_max[pos]
+
     def scores_arrays(self, words, k: int | None = None,
                       prune: bool = False):
         """``InvertedIndex.getScores`` (OR-merge + cosine normalization)
@@ -264,39 +363,48 @@ class Searcher:
         ``prune=True`` (requires ``k``) enables rank-safe MaxScore
         pruning (Turtle & Flood-style TAAT): terms are processed in
         decreasing upper-bound order; once the k-th best provisional
-        score exceeds what the remaining terms could give ANY unseen
+        score θ exceeds what the remaining terms could give ANY unseen
         doc (Σ remaining ub / min corpus norm), remaining terms only
-        update existing candidates.  Scores of every returned doc are
-        exact, and the true top-k is never pruned; docs outside the
-        top-k may be absent, so pruning is only used for plain top-k
-        queries (not phrase semi-joins, not full score dumps)."""
+        update existing candidates — and, run-level (block-max), only
+        runs whose doc range intersects the candidate set are decoded.
+        Scores of every returned doc are exact, and the true top-k is
+        never pruned; docs outside the top-k may be absent, so pruning
+        is only used for plain top-k queries (not phrase semi-joins,
+        not full score dumps)."""
         terms = {w for w in (self.stem_query_word(x) for x in words) if w}
         # sorted for a deterministic summation order (set iteration is
         # hash-salted per process; fp addition is order-sensitive)
-        entries = [
-            (t, self.lexicon[t])
-            for t in sorted(terms)
-            if self.lexicon.get(t, 0) > 0
-        ]
+        entries = []
+        for t in sorted(terms):
+            ix = self._lex_index(t)
+            if ix >= 0 and self._lex_df[ix] > 0:
+                ub_adj = (
+                    float(self._lex_ub[ix])
+                    if self._lex_ub is not None
+                    else math.inf
+                )
+                entries.append((t, int(self._lex_df[ix]), ub_adj))
         if not entries:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        prune = bool(prune and k and self._can_prune and self.term_ub)
+        prune = bool(
+            prune and k and self._can_prune and self._lex_ub is not None
+        )
 
         if prune:
             # idf × max(adjTF/tfMax): the most this term adds to any doc
             ub = {
-                t: math.log10(self.n_docs / df) * self.term_ub.get(t, math.inf)
-                for t, df in entries
+                t: math.log10(self.n_docs / df) * u
+                for t, df, u in entries
             }
             entries.sort(key=lambda e: -ub[e[0]])
             remaining = np.cumsum(
-                [ub[t] for t, _ in entries][::-1]
+                [ub[t] for t, _, _ in entries][::-1]
             )[::-1]
 
         cand_ids = np.empty(0, dtype=np.int64)
         cand_sum = np.empty(0, dtype=np.float64)
         restricted = False
-        for i, (term, df) in enumerate(entries):
+        for i, (term, df, _u) in enumerate(entries):
             if prune and not restricted and len(cand_ids) >= k:
                 norm = self._norm[np.searchsorted(self._stat_ids, cand_ids)]
                 provisional = cand_sum / norm
@@ -305,17 +413,21 @@ class Searcher:
                 ]
                 if remaining[i] / self._min_norm < theta:
                     restricted = True
-            tp = self._term_partial(term, df)
-            if tp is None:
-                continue
-            ids, partial = tp
             if restricted:
+                tp = self._partial_for_candidates(term, df, cand_ids)
+                if tp is None:
+                    continue
+                ids, partial = tp
                 # exact update of existing candidates only
                 pos = np.searchsorted(cand_ids, ids)
                 pos_c = np.clip(pos, 0, len(cand_ids) - 1)
                 hit = cand_ids[pos_c] == ids
                 np.add.at(cand_sum, pos_c[hit], partial[hit])
             else:
+                tp = self._term_partial(term, df)
+                if tp is None:
+                    continue
+                ids, partial = tp
                 merged = np.concatenate((cand_ids, ids))
                 vals = np.concatenate((cand_sum, partial))
                 cand_ids, inv = np.unique(merged, return_inverse=True)
@@ -469,19 +581,23 @@ class Searcher:
 
 
 def format_result(row) -> str:
-    """Reference result text block (``SearchResult.toResultFormat``,
-    ``SearchResult.java:51-110``): score to 4 decimals, title, url,
-    last-modified + page size, top-5 ``keyword freq`` pairs, parent
-    links, child links — one indented block per result."""
-    lines = [
-        f"{row['score']:.4f}\t{row['title']}",
-        f"\t{row['url']}",
-        f"\t{row['last_modified']}, {row['page_size']}",
-        "\t" + "; ".join(f"{w} {f}" for w, f in row["keywords"]),
+    """Reference result text block, layout-exact
+    (``SearchResult.toResultFormat``, ``SearchResult.java:51-110``):
+    score to 4 decimals + title, url, last-modified + page size, the
+    keyword line with a trailing ``"; "`` per pair, then ``Parent
+    Links:`` / ``Child Links:`` header lines each followed by one
+    indented url per line."""
+    parts = [
+        f"{row['score']:.4f}\t{row['title']}\n",
+        f"\t{row['url']}\n",
+        f"\t{row['last_modified']}, {row['page_size']}\n",
+        "\t" + "".join(f"{w} {f}; " for w, f in row["keywords"]) + "\n",
+        "\tParent Links:\n",
     ]
-    lines.extend(f"\tParent: {u}" for u in row["parent_links"])
-    lines.extend(f"\tChild: {u}" for u in row["child_links"])
-    return "\n".join(lines)
+    parts.extend(f"\t{u}\n" for u in row["parent_links"])
+    parts.append("\tChild Links:\n")
+    parts.extend(f"\t{u}\n" for u in row["child_links"])
+    return "".join(parts)
 
 
 def format_results(df: pd.DataFrame) -> str:
@@ -552,7 +668,14 @@ class _Broker:
 
 
 def _topk_indices(ids: np.ndarray, vals: np.ndarray, k: int) -> np.ndarray:
-    """Deterministic top-k (score desc, doc_id asc, NaN last).  For
+    """Deterministic top-k (score desc, doc_id asc, NaN last).
+
+    DELIBERATE divergence: Java's ``Comparator.reverseOrder`` treats NaN
+    as the largest double, so the reference ranks NaN-scored docs FIRST
+    (constructible only on a degenerate corpus where some doc's every
+    term has df=N).  We rank NaN last — a NaN score carries no relevance
+    signal — and keep rank groups, not NaN placement, as the conformance
+    surface (same stance as the HashMap tie-order note above).  For
     candidate sets much larger than k, select the boundary value with
     ``np.partition`` first and only sort the >= boundary subset — ties
     at the boundary stay doc_id-deterministic."""
@@ -605,6 +728,7 @@ class ShardedSearcher:
             actor_cls.remote(index_dir, doc_shard=s)
             for s in range(self.num_shards)
         ]
+        self._brokers: list = []
 
     def search(self, words, phrase=None, k: int | None = None,
                hydrate: bool = False) -> pd.DataFrame:
@@ -634,23 +758,36 @@ class ShardedSearcher:
         return merged.reset_index(drop=True)
 
     def batch_search(self, queries: list[str], k: int = 10,
-                     n_brokers: int = 0) -> pd.DataFrame:
+                     n_brokers: int | None = None) -> pd.DataFrame:
         """Send the query batch to every shard (chunked RPCs; each
         shard's decode work is 1/num_shards of the posting data), then
         merge per query.
 
-        The single-process gather+merge is the throughput bound at high
-        query rates (see BASELINE.md) — pass ``n_brokers > 0`` to run
-        the scatter-gather inside broker actors that SHARE the shard
-        actors, scaling query throughput with cores the way production
-        search tiers scale by adding brokers."""
+        A single-process gather+merge is the throughput bound at high
+        query rates, so by DEFAULT (``n_brokers=None``) the
+        scatter-gather runs inside broker actors that SHARE the shard
+        actors — one broker per ~8 cluster CPUs — scaling query
+        throughput with cores the way production search tiers scale by
+        adding brokers.  Pass ``n_brokers=0`` to force the single-driver
+        merge path."""
         import ray
 
+        if n_brokers is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_brokers = max(1, cpus // 8)
         if n_brokers and len(queries) > n_brokers:
-            broker_cls = ray.remote(num_cpus=0.5)(_Broker)
-            brokers = [
-                broker_cls.remote(self._actors) for _ in range(n_brokers)
-            ]
+            # num_cpus=0: brokers spend most time waiting on shard
+            # futures with short merge bursts — a reserved CPU would
+            # deadlock small clusters where shard actors hold every core.
+            # Brokers are cached across calls (actor startup would
+            # otherwise dominate small batches).
+            if len(self._brokers) < n_brokers:
+                broker_cls = ray.remote(num_cpus=0)(_Broker)
+                self._brokers.extend(
+                    broker_cls.remote(self._actors)
+                    for _ in range(n_brokers - len(self._brokers))
+                )
+            brokers = self._brokers[:n_brokers]
             chunk = -(-len(queries) // n_brokers)
             futs = [
                 brokers[i].run.remote(
@@ -659,11 +796,7 @@ class ShardedSearcher:
                 for i in range(n_brokers)
                 if queries[i * chunk:(i + 1) * chunk]
             ]
-            try:
-                parts = [p for p in ray.get(futs) if len(p)]
-            finally:
-                for b in brokers:
-                    ray.kill(b)
+            parts = [p for p in ray.get(futs) if len(p)]
             if not parts:
                 return pd.DataFrame(
                     columns=["query_id", "rank", "doc_id", "score"]
@@ -692,6 +825,9 @@ class ShardedSearcher:
     def shutdown(self):
         import ray
 
+        for b in self._brokers:
+            ray.kill(b)
+        self._brokers = []
         for a in self._actors:
             ray.kill(a)
         self._actors = []

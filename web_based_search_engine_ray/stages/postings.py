@@ -43,6 +43,12 @@ SEGMENT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("run", pa.int32()),
         ("df_run", pa.int64()),
+        # per-run block-max metadata: doc-id range (decode-free run
+        # skipping) and score upper bound max((a·ttf+(1-a)·btf)/tfMax)
+        # over the run's docs (rank-safe run-level MaxScore restriction)
+        ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()),
+        ("ub_run", pa.float64()),
         ("doc_gaps", pa.binary()),
         ("title_tfs", pa.binary()),
         ("body_tfs", pa.binary()),
@@ -63,20 +69,37 @@ class PostingExtractor:
     #: bound on the per-actor token→stem memo (Zipf vocabulary ⇒ the
     #: working set is tiny; the cap only guards pathological inputs)
     MEMO_CAP = 1_000_000
+    #: positions must fit the phrase-key packing (Searcher.POS_BITS):
+    #: a pathological multi-million-token doc is indexed only on its
+    #: first 2^22-1 filtered tokens (logged) instead of poisoning every
+    #: phrase query that touches one of its terms at query time
+    POS_LIMIT = (1 << 22) - 1
 
     def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
         self.stops = stopword_set() if cfg.use_stopwords else frozenset()
         self.re = TOKEN_RE
         self._memo: dict[str, str | None] = {}
+        self._truncation_warned = False
 
     def _analyze(self, text: str) -> list[str]:
         cfg = self.cfg
         memo = self._memo
+        limit = self.POS_LIMIT
         out = []
         for tok in self.re.split(text):
             if not tok:
                 continue
+            if len(out) >= limit:
+                if not self._truncation_warned:
+                    self._truncation_warned = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "document exceeds %d filtered tokens; indexing "
+                        "truncated to the position budget", limit,
+                    )
+                break
             if tok in memo:
                 w = memo[tok]
             else:
@@ -93,7 +116,8 @@ class PostingExtractor:
         return out
 
     def extract(self, batch: pa.Table):
-        """→ (terms list, doc_ids, title_pos lists, body_pos lists)."""
+        """→ (terms, doc_ids, title_pos lists, body_pos lists,
+        tf_max-of-row's-doc) flat row arrays."""
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         titles = batch["title"].to_pylist()
         texts = batch["text"].to_pylist()
@@ -101,6 +125,7 @@ class PostingExtractor:
         out_doc: list[int] = []
         tpos: list[list[int]] = []
         bpos: list[list[int]] = []
+        tfmax: list[int] = []
         for doc_id, title, text in zip(doc_ids, titles, texts):
             doc_id = int(doc_id)
             acc: dict[str, tuple[list[int], list[int]]] = {}
@@ -108,15 +133,19 @@ class PostingExtractor:
                 acc.setdefault(t, ([], []))[0].append(i)
             for i, t in enumerate(self._analyze(text)):
                 acc.setdefault(t, ([], []))[1].append(i)
+            if not acc:
+                continue
+            m = max(len(tl) + len(bl) for tl, bl in acc.values())
             for term, (tl, bl) in acc.items():
                 terms.append(term)
                 out_doc.append(doc_id)
                 tpos.append(tl)
                 bpos.append(bl)
-        return terms, out_doc, tpos, bpos
+                tfmax.append(m)
+        return terms, out_doc, tpos, bpos, tfmax
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms, out_doc, tpos, bpos = self.extract(batch)
+        terms, out_doc, tpos, bpos, _tfmax = self.extract(batch)
         return pa.table(
             {
                 "term": pa.array(terms, type=pa.string()),
@@ -144,6 +173,9 @@ def _segment_table(rows: dict[str, list], shards, buckets, runs,
             "term": pa.array(rows["term"], type=pa.string()),
             "run": pa.array(runs, type=pa.int32()),
             "df_run": pa.array(rows["df_run"], type=pa.int64()),
+            "min_doc": pa.array(rows["min_doc"], type=pa.int64()),
+            "max_doc": pa.array(rows["max_doc"], type=pa.int64()),
+            "ub_run": pa.array(rows["ub_run"], type=pa.float64()),
             "doc_gaps": pa.array(rows["doc_gaps"], type=pa.binary()),
             "title_tfs": pa.array(rows["title_tfs"], type=pa.binary()),
             "body_tfs": pa.array(rows["body_tfs"], type=pa.binary()),
@@ -161,16 +193,18 @@ class TokenizeEncode(PostingExtractor):
     becomes one sort + vectorized delta/varbyte encode per term."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms, out_doc, tpos, bpos = self.extract(batch)
+        terms, out_doc, tpos, bpos, tfmax = self.extract(batch)
         if not terms:
             return SEGMENT_SCHEMA.empty_table()
         terms_np = np.asarray(terms, dtype=object)
         docs_np = np.asarray(out_doc, dtype=np.int64)
+        tfmax_np = np.asarray(tfmax, dtype=np.float64)
         n_shards = max(1, self.cfg.doc_shards)
         shards_np = docs_np % n_shards
         order = np.lexsort((docs_np, terms_np, shards_np))
         terms_np, docs_np = terms_np[order], docs_np[order]
         shards_np = shards_np[order]
+        tfmax_np = tfmax_np[order]
         tpos = [tpos[i] for i in order]
         bpos = [bpos[i] for i in order]
 
@@ -184,8 +218,11 @@ class TokenizeEncode(PostingExtractor):
 
         all_ttf = np.fromiter(map(len, tpos), np.int64, len(tpos))
         all_btf = np.fromiter(map(len, bpos), np.int64, len(bpos))
+        a = self.cfg.title_weight
+        all_ratio = (a * all_ttf + (1.0 - a) * all_btf) / tfmax_np
 
-        rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
+        rows = {k: [] for k in ("term", "df_run", "min_doc", "max_doc",
+                                "ub_run", "doc_gaps", "title_tfs",
                                 "body_tfs", "title_pos", "body_pos")}
         buckets = []
         out_shards = []
@@ -227,6 +264,9 @@ class TokenizeEncode(PostingExtractor):
                 term = str(terms_np[i])
                 rows["term"].append(term)
                 rows["df_run"].append(1)
+                rows["min_doc"].append(int(docs_np[i]))
+                rows["max_doc"].append(int(docs_np[i]))
+                rows["ub_run"].append(float(all_ratio[i]))
                 rows["doc_gaps"].append(gap_blobs[j])
                 rows["title_tfs"].append(ttf_blobs[j])
                 rows["body_tfs"].append(btf_blobs[j])
@@ -251,6 +291,9 @@ class TokenizeEncode(PostingExtractor):
             )
             rows["term"].append(term)
             rows["df_run"].append(int(e - s))
+            rows["min_doc"].append(int(ids[0]))
+            rows["max_doc"].append(int(ids[-1]))
+            rows["ub_run"].append(float(all_ratio[s:e].max()))
             rows["doc_gaps"].append(codec.encode_sorted(ids))
             rows["title_tfs"].append(codec.varbyte_encode(ttfs.astype(np.uint64)))
             rows["body_tfs"].append(codec.varbyte_encode(btfs.astype(np.uint64)))
@@ -286,9 +329,11 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
     ends = np.concatenate((starts[1:], [len(terms_np)]))
 
     passthrough_idx = []
-    rows = {k: [] for k in ("term", "df_run", "doc_gaps", "title_tfs",
+    rows = {k: [] for k in ("term", "df_run", "min_doc", "max_doc",
+                            "ub_run", "doc_gaps", "title_tfs",
                             "body_tfs", "title_pos", "body_pos")}
     buckets, runs, shards = [], [], []
+    ub_runs_np = group["ub_run"].to_numpy(zero_copy_only=False)
     bucket = int(group["bucket"][0].as_py())
     doc_shard = int(group["doc_shard"][0].as_py())
 
@@ -330,12 +375,18 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
         ids = ids[sort]
         ttfs = np.concatenate(ttf_parts)[sort]
         btfs = np.concatenate(btf_parts)[sort]
+        # merged-run bound: max of the source runs' bounds (conservative
+        # — rank-safe; exact per-chunk bounds would need per-doc tfMax)
+        ub_merged = float(ub_runs_np[idxs].max())
         # chunk into bounded runs; positions are byte-spliced per doc
         for chunk, cs in enumerate(range(0, len(ids), max_run_docs)):
             ce = min(cs + max_run_docs, len(ids))
             sel = sort[cs:ce]
             rows["term"].append(term)
             rows["df_run"].append(int(ce - cs))
+            rows["min_doc"].append(int(ids[cs]))
+            rows["max_doc"].append(int(ids[ce - 1]))
+            rows["ub_run"].append(ub_merged)
             rows["doc_gaps"].append(codec.encode_sorted(ids[cs:ce]))
             rows["title_tfs"].append(
                 codec.varbyte_encode(ttfs[cs:ce].astype(np.uint64))
@@ -364,78 +415,72 @@ def compact_bucket(group: pa.Table, *, max_run_docs: int,
     return merged
 
 
-def explode_segment_rows(batch: pa.Table) -> pa.Table:
-    """Segment rows → flat ``(doc_id, term, title_tf, body_tf, df)``.
+class ForwardRows(PostingExtractor):
+    """Stage: documents block → forward-index rows ``(doc_id, terms,
+    title_tfs, body_tfs, tf_max)`` — entirely DOC-LOCAL (no shuffle:
+    a document's term list is known the moment it is tokenized).
 
-    Used to derive the forward index / doc stats from the already-built
-    segments without re-tokenizing.  MUST be called on one whole bucket
-    (all runs of a term share its bucket), so the per-term Σ df_run here
-    is the global df.
+    This replaces the earlier derivation that exploded the compressed
+    segments (decode + term-bucket shuffle + doc-bucket shuffle): the
+    cost here is one extra tokenize pass over extracted docs (cheap —
+    the stem memo is hot), and the build saves two full-posting-volume
+    shuffles.  Docs with zero surviving terms are dropped (the
+    reference counts only docs with ≥1 term, ``InvertedIndex.java:72``).
+    Term lists are sorted for deterministic artifacts.
     """
-    gap_blobs = batch["doc_gaps"].to_pylist()
-    ttf_blobs = batch["title_tfs"].to_pylist()
-    btf_blobs = batch["body_tfs"].to_pylist()
-    df_runs_np = batch["df_run"].to_numpy(zero_copy_only=False)
 
-    doc_parts, term_parts, ttf_parts, btf_parts = [], [], [], []
-    # fast path: single-doc runs decode in ONE varbyte pass (each blob
-    # holds exactly one value)
-    singles = np.flatnonzero(df_runs_np == 1)
-    if singles.size:
-        doc_parts.append(
-            codec.varbyte_decode(
-                b"".join(gap_blobs[i] for i in singles)
-            ).astype(np.int64)
-        )
-        ttf_parts.append(
-            codec.varbyte_decode(
-                b"".join(ttf_blobs[i] for i in singles)
-            ).astype(np.int64)
-        )
-        btf_parts.append(
-            codec.varbyte_decode(
-                b"".join(btf_blobs[i] for i in singles)
-            ).astype(np.int64)
-        )
-        term_parts.append(singles.astype(np.int64))
-    for i in np.flatnonzero(df_runs_np != 1):
-        i = int(i)
-        ids = codec.decode_sorted(gap_blobs[i])
-        ttfs = codec.varbyte_decode(ttf_blobs[i]).astype(np.int64)
-        btfs = codec.varbyte_decode(btf_blobs[i]).astype(np.int64)
-        doc_parts.append(ids)
-        ttf_parts.append(ttfs)
-        btf_parts.append(btfs)
-        term_parts.append(np.full(len(ids), i, dtype=np.int64))
-    if not doc_parts:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        titles = batch["title"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_ids: list[int] = []
+        terms_flat: list[str] = []
+        ttf_flat: list[int] = []
+        btf_flat: list[int] = []
+        offsets: list[int] = [0]
+        tf_max: list[int] = []
+        for doc_id, title, text in zip(doc_ids, titles, texts):
+            acc: dict[str, list[int]] = {}
+            for t in self._analyze(title):
+                e = acc.get(t)
+                if e is None:
+                    acc[t] = [1, 0]
+                else:
+                    e[0] += 1
+            for t in self._analyze(text):
+                e = acc.get(t)
+                if e is None:
+                    acc[t] = [0, 1]
+                else:
+                    e[1] += 1
+            if not acc:
+                continue
+            out_ids.append(int(doc_id))
+            m = 0
+            for term in sorted(acc):
+                tt, bt = acc[term]
+                terms_flat.append(term)
+                ttf_flat.append(tt)
+                btf_flat.append(bt)
+                m = max(m, tt + bt)
+            tf_max.append(m)
+            offsets.append(len(terms_flat))
+        off = pa.array(np.asarray(offsets, dtype=np.int32), type=pa.int32())
         return pa.table(
             {
-                "doc_id": pa.array([], type=pa.int64()),
-                "term": pa.array([], type=pa.string()),
-                "title_tf": pa.array([], type=pa.int64()),
-                "body_tf": pa.array([], type=pa.int64()),
-                "df": pa.array([], type=pa.int64()),
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "terms": pa.ListArray.from_arrays(
+                    off, pa.array(terms_flat, type=pa.string())
+                ),
+                "title_tfs": pa.ListArray.from_arrays(
+                    off, pa.array(ttf_flat, type=pa.int64())
+                ),
+                "body_tfs": pa.ListArray.from_arrays(
+                    off, pa.array(btf_flat, type=pa.int64())
+                ),
+                "tf_max": pa.array(tf_max, type=pa.int64()),
             }
         )
-    row_idx = np.concatenate(term_parts)
-    terms = pa.concat_arrays(
-        [c for c in batch["term"].chunks]
-    ).take(pa.array(row_idx))
-    term_strs = np.asarray(batch["term"])
-    df_runs = batch["df_run"].to_numpy(zero_copy_only=False)
-    uniq, inv = np.unique(term_strs, return_inverse=True)
-    df_tot = np.zeros(len(uniq), dtype=np.int64)
-    np.add.at(df_tot, inv, df_runs)
-    df_per_row = df_tot[inv]
-    return pa.table(
-        {
-            "doc_id": pa.array(np.concatenate(doc_parts), type=pa.int64()),
-            "term": terms,
-            "title_tf": pa.array(np.concatenate(ttf_parts), type=pa.int64()),
-            "body_tf": pa.array(np.concatenate(btf_parts), type=pa.int64()),
-            "df": pa.array(df_per_row[row_idx], type=pa.int64()),
-        }
-    )
 
 
 def _list_column_parts(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
@@ -449,69 +494,38 @@ def _list_column_parts(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return values, lengths
 
 
-def forward_bucket_group(group: pa.Table) -> pa.Table:
-    """``map_groups`` body for one *doc-hash bucket*: forward-index rows
-    for every doc in the bucket, fully vectorized (no per-doc Python).
-
-    Mirrors the forward set (``PostingIndex.java:44-47``) and tfMax
-    (``InvertedIndex.updateTFMax``, ``InvertedIndex.java:38-54``); also
-    carries df per term so doc_len_norm is computable downstream without
-    a lexicon broadcast.
-    """
-    if group.num_rows == 0:
-        return _empty_forward()
-    group = group.sort_by([("doc_id", "ascending")])
-    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    ttf = group["title_tf"].to_numpy(zero_copy_only=False)
-    btf = group["body_tf"].to_numpy(zero_copy_only=False)
-    dfs = group["df"].to_numpy(zero_copy_only=False)
-    tf = ttf + btf
-    uniq_ids, starts = np.unique(doc_ids, return_index=True)
-    offsets = np.concatenate((starts, [len(doc_ids)])).astype(np.int32)
-    terms_vals = group["term"].combine_chunks()
-    if isinstance(terms_vals, pa.ChunkedArray):
-        terms_vals = terms_vals.chunk(0)
-    tf_max = np.maximum.reduceat(tf, starts)
-    off = pa.array(offsets, type=pa.int32())
-    return pa.table(
-        {
-            "doc_id": pa.array(uniq_ids, type=pa.int64()),
-            "terms": pa.ListArray.from_arrays(off, terms_vals),
-            "title_tfs": pa.ListArray.from_arrays(off, pa.array(ttf, type=pa.int64())),
-            "body_tfs": pa.ListArray.from_arrays(off, pa.array(btf, type=pa.int64())),
-            "dfs": pa.ListArray.from_arrays(off, pa.array(dfs, type=pa.int64())),
-            "tf_max": pa.array(tf_max, type=pa.int64()),
-        }
-    )
-
-
-def _empty_forward() -> pa.Table:
-    return pa.table(
-        {
-            "doc_id": pa.array([], type=pa.int64()),
-            "terms": pa.array([], type=pa.list_(pa.string())),
-            "title_tfs": pa.array([], type=pa.list_(pa.int64())),
-            "body_tfs": pa.array([], type=pa.list_(pa.int64())),
-            "dfs": pa.array([], type=pa.list_(pa.int64())),
-            "tf_max": pa.array([], type=pa.int64()),
-        }
-    )
-
-
-def doc_stats_batch(batch: pa.Table, *, n_docs: int) -> pa.Table:
+def doc_stats_batch(batch: pa.Table, *, n_docs: int, df_ref) -> pa.Table:
     """Forward rows → ``(doc_id, tf_max, doc_len_norm)``.
 
     doc_len_norm = sqrt(Σ_t (tf_t · log10(N/df_t) / tfMax)²) over ALL of
     the doc's terms with unweighted tf (``InvertedIndex.getDocumentLength``,
     ``InvertedIndex.java:69-95``; the title multiplier is NOT applied
     here).  A single-doc corpus gives idf=0 → norm 0 → NaN scores, which
-    is reproduced deliberately (reference behavior)."""
+    is reproduced deliberately (reference behavior).
+
+    ``df_ref``: ``ray.ObjectRef`` of the term→df dict (broadcast once
+    via ``ray.put`` — the lexicon is tiny relative to posting volume, so
+    this replaces a full doc shuffle).  At vocabularies too large to
+    broadcast, partition the lexicon by term bucket and map-side join
+    per bucket instead."""
+    import ray
+
+    df_map = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
     ttf_flat, lens = _list_column_parts(batch["title_tfs"])
     btf_flat, _ = _list_column_parts(batch["body_tfs"])
-    df_flat, _ = _list_column_parts(batch["dfs"])
+    terms_col = batch["terms"].combine_chunks()
+    if isinstance(terms_col, pa.ChunkedArray):
+        terms_col = terms_col.chunk(0)
+    toff = terms_col.offsets.to_numpy(zero_copy_only=False)
+    terms_flat = np.asarray(terms_col.values)[toff[0]:toff[-1]]
+    uniq, inv = np.unique(terms_flat, return_inverse=True)
+    df_uniq = np.fromiter(
+        (df_map[t] for t in uniq), dtype=np.float64, count=len(uniq)
+    )
+    df_flat = df_uniq[inv]
     tf_max = batch["tf_max"].to_numpy(zero_copy_only=False)
     tf_flat = ttf_flat + btf_flat
-    idf_flat = np.log10(n_docs / df_flat.astype(np.float64))
+    idf_flat = np.log10(n_docs / df_flat)
     contrib = (tf_flat * idf_flat) ** 2
     sums = np.zeros(batch.num_rows, dtype=np.float64)
     row_of = np.repeat(np.arange(batch.num_rows), lens)
