@@ -160,3 +160,64 @@ def test_update_search_equivalent(updated_and_rebuilt):
     # the updated content is actually searchable
     hits = a.search({"freshly"}, k=10, hydrate=False)
     assert sorted(hits["doc_id"]) == list(UPDATED_IDS)
+
+
+REMOVED_IDS = (2, 6)  # shard 2 (mod 4)
+
+
+def _corpus_v3():
+    """v1 minus docs 2 and 6 (full-sync snapshot with deletions)."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.sources.webcorpus import synth_batch
+
+    return (
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"],
+                        override_num_blocks=8)
+        .filter(expr=f"doc_id not in {list(REMOVED_IDS)}")
+        .map_batches(synth_batch, batch_format="pyarrow")
+    )
+
+
+def test_remove_missing_deletes_documents(ray_session, tmp_path_factory):
+    """update_index(remove_missing=True) must equal a full rebuild of
+    the reduced snapshot: deleted docs gone from docmeta/search, df and
+    norms globally consistent."""
+    import pandas as pd
+
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.pipelines.update_index import update_index
+
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4, num_buckets=4, doc_shards=4,
+    )
+    base = tmp_path_factory.mktemp("del")
+    inc_dir = str(base / "incremental")
+    full_dir = str(base / "full")
+
+    build_index(_corpus_v1, inc_dir, cfg, input_key="v1", resume=False)
+    report = update_index(
+        _corpus_v3, inc_dir, cfg, input_key="v3", remove_missing=True
+    )
+    assert report["update"]["removed_docs"] == len(REMOVED_IDS)
+    assert 2 in report["update"]["affected_shards"]
+    assert report["n_docs"] == 500 - len(REMOVED_IDS)
+
+    build_index(_corpus_v3, full_dir, cfg, input_key="v3-full", resume=False)
+    li = _tbl(inc_dir, "lexicon").sort_values("term").reset_index(drop=True)
+    lf = _tbl(full_dir, "lexicon").sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(li, lf)
+
+    meta = _tbl(inc_dir, "docmeta", cols=["doc_id"])
+    assert not set(REMOVED_IDS) & set(meta["doc_id"])
+
+    a, b = Searcher(inc_dir), Searcher(full_dir)
+    for words in [{"spark", "merge"}, {"doc", "2"}]:
+        ra = a.search(words, k=10**9, hydrate=False)
+        rb = b.search(words, k=10**9, hydrate=False)
+        assert ra["doc_id"].tolist() == rb["doc_id"].tolist()
+        assert not set(REMOVED_IDS) & set(ra["doc_id"])

@@ -47,7 +47,6 @@ import numpy as np
 import pyarrow as pa
 
 from web_based_search_engine_ray.config import IndexConfig
-from web_based_search_engine_ray.functions.hashing import stable_hash63
 from web_based_search_engine_ray.stages.extract import Extractor
 from web_based_search_engine_ray.stages.postings import (
     ForwardRows,
@@ -66,8 +65,11 @@ def _fp(*parts: str) -> str:
 
 
 def _add_url_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
-    urls = batch["url"].to_pylist()
-    buckets = [stable_hash63(u) % num_buckets for u in urls]
+    from web_based_search_engine_ray.functions.hashing import (
+        stable_hash63_array,
+    )
+
+    buckets = stable_hash63_array(batch["url"].to_pylist()) % num_buckets
     return batch.append_column("url_bucket", pa.array(buckets, type=pa.int64()))
 
 

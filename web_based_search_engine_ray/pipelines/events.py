@@ -31,13 +31,14 @@ def hourly_window_agg(ds):
                 "value": batch["value"],
             }
         )
-        # partial per-batch combine
-        df = t.to_pandas()
-        g = (
-            df.groupby(["window_start", "event_type"], as_index=False)
-            .agg(n_part=("value", "size"), sum_part=("value", "sum"))
+        # partial per-batch combine — Arrow-native hash aggregation (no
+        # pandas round-trip in the hot combiner)
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["window_start", "event_type", "n_part", "sum_part"]
+        )
 
     agg = (
         coalesce(ds.map_batches(pre, batch_format="pyarrow"))
@@ -81,20 +82,23 @@ def sliding_window_agg(ds, *, size_minutes: int = 60, step_minutes: int = 15):
         starts = base[:, None] - np.arange(k)[None, :] * step_us
         valid = starts > (ts[:, None] - size_us)
         rows, cols = np.nonzero(valid)
-        import pandas as pd
-
-        df = pd.DataFrame(
+        take = pa.array(rows)
+        t = pa.table(
             {
-                "window_start": starts[rows, cols].astype("datetime64[us]"),
-                "event_type": np.asarray(batch["event_type"].to_pylist(),
-                                         dtype=object)[rows],
-                "value": batch["value"].to_numpy(zero_copy_only=False)[rows],
+                "window_start": pa.array(
+                    starts[rows, cols].astype("datetime64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "event_type": batch["event_type"].take(take),
+                "value": batch["value"].take(take),
             }
         )
-        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
-            n_part=("value", "size"), sum_part=("value", "sum")
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["window_start", "event_type", "n_part", "sum_part"]
+        )
 
     return (
         coalesce(ds.map_batches(explode, batch_format="pyarrow"))
@@ -166,9 +170,10 @@ def top_users_by_value(ds, *, k: int = 20):
     from ray.data.aggregate import Sum
 
     def pre(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "value"]).to_pandas()
-        g = df.groupby("user_id", as_index=False).agg(part=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select(["user_id", "value"]).group_by("user_id").aggregate(
+            [("value", "sum")]
+        )
+        return g.rename_columns(["user_id", "part"])
 
     agg = (
         coalesce(ds.map_batches(pre, batch_format="pyarrow"))

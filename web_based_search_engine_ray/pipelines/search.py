@@ -717,17 +717,29 @@ class ShardedSearcher:
     expressible as a Dataset transform.
     """
 
-    def __init__(self, index_dir: str, *, num_cpus_per_shard: float = 1):
+    def __init__(self, index_dir: str, *, num_cpus_per_shard: float = 1,
+                 replicas: int = 1):
+        """``replicas``: independent copies of every shard actor.  One
+        shard actor processes one RPC at a time, so the query tier's
+        CPU ceiling is ``num_shards × replicas`` — scale replicas with
+        the cluster (each replica holds only its shard's 1/num_shards
+        state, so replication is cheap) the way production search tiers
+        replicate shards behind brokers."""
         import ray
 
         meta = mf.read_json(os.path.join(index_dir, "meta.json"))
         self.cfg = _load_cfg(meta["config"])
         self.num_shards = max(1, self.cfg.doc_shards)
+        self.replicas = max(1, replicas)
         actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(Searcher)
-        self._actors = [
-            actor_cls.remote(index_dir, doc_shard=s)
-            for s in range(self.num_shards)
+        self._rings = [
+            [
+                actor_cls.remote(index_dir, doc_shard=s)
+                for s in range(self.num_shards)
+            ]
+            for _ in range(self.replicas)
         ]
+        self._actors = self._rings[0]
         self._brokers: list = []
 
     def search(self, words, phrase=None, k: int | None = None,
@@ -784,8 +796,10 @@ class ShardedSearcher:
             if len(self._brokers) < n_brokers:
                 broker_cls = ray.remote(num_cpus=0)(_Broker)
                 self._brokers.extend(
-                    broker_cls.remote(self._actors)
-                    for _ in range(n_brokers - len(self._brokers))
+                    # broker i scatter-gathers against replica ring
+                    # i mod replicas — load spreads across shard copies
+                    broker_cls.remote(self._rings[i % self.replicas])
+                    for i in range(len(self._brokers), n_brokers)
                 )
             brokers = self._brokers[:n_brokers]
             chunk = -(-len(queries) // n_brokers)
@@ -828,8 +842,10 @@ class ShardedSearcher:
         for b in self._brokers:
             ray.kill(b)
         self._brokers = []
-        for a in self._actors:
-            ray.kill(a)
+        for ring in self._rings:
+            for a in ring:
+                ray.kill(a)
+        self._rings = []
         self._actors = []
 
 

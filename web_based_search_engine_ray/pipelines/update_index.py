@@ -25,6 +25,11 @@ are never re-tokenized:
 With ``doc_shards == 1`` the segment rebuild degenerates to a full
 re-tokenize (still correct); partition-pruned updates need the sharded
 layout.
+
+``remove_missing=True`` adds full-sync deletion: indexed urls absent
+from the snapshot are dropped (their shards rebuilt), keeping df / N /
+norms globally consistent — completing the ``removeDocument`` surface
+the reference defines but never drives.
 """
 
 from __future__ import annotations
@@ -58,11 +63,19 @@ def update_index(
     cfg: IndexConfig | None = None,
     *,
     input_key: str,
+    remove_missing: bool = False,
 ) -> dict:
     """Apply a corpus snapshot to an existing index.  ``input_key`` must
     differ from the previous build's key (it fingerprints the new
     snapshot).  Returns the ``build_index`` report; ``report["update"]``
-    carries the incremental stats."""
+    carries the incremental stats.
+
+    ``remove_missing=True`` treats the snapshot as AUTHORITATIVE: urls
+    currently indexed but absent from the snapshot are deleted (their
+    doc shards rebuilt) — the full-sync semantics the reference lacks
+    (``PostingIndex.removeDocument`` exists but nothing ever calls it
+    for disappeared urls).  The default keeps reference behavior:
+    unseen urls stay indexed forever."""
     import ray
     import ray.data as rd
 
@@ -99,37 +112,66 @@ def update_index(
         n_fresh = _count_parquet(d_delta)
     except Exception:
         n_fresh = 0
-    if n_fresh == 0:
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    # ---- urls deleted from the snapshot (full-sync mode) -----------------
+    removed_urls: set = set()
+    removed_ids = np.empty(0, dtype=np.int64)
+    if remove_missing:
+        # snapshot url set on the driver — at web scale replace with a
+        # Bloom-filter broadcast + shuffle anti-join on survivors
+        snap_urls = set(
+            corpus_fn().select_columns(["url"]).to_pandas()["url"]
+        )
+        stored_meta = pads.dataset(
+            os.path.join(index_dir, "docmeta"), format="parquet"
+        ).to_table(columns=["doc_id", "url"])
+        stored_urls = stored_meta["url"].to_pylist()
+        gone = pa.array([u not in snap_urls for u in stored_urls])
+        removed = stored_meta.filter(gone)
+        removed_urls = set(removed["url"].to_pylist())
+        removed_ids = removed["doc_id"].to_numpy(zero_copy_only=False)
+
+    if n_fresh == 0 and not removed_urls:
         shutil.rmtree(d_delta, ignore_errors=True)
         report = mf.read_json(os.path.join(index_dir, "meta.json"))
-        report["update"] = {"fresh_docs": 0, "affected_shards": []}
+        report["update"] = {"fresh_docs": 0, "affected_shards": [],
+                           "removed_docs": 0}
         return report
 
-    delta = rd.read_parquet(d_delta)
-    delta_meta = delta.select_columns(["url", "doc_id"]).to_pandas()
-    fresh_urls = set(delta_meta["url"])
-    fresh_ids = delta_meta["doc_id"].to_numpy()
+    if n_fresh:
+        delta = rd.read_parquet(d_delta)
+        delta_meta = delta.select_columns(["url", "doc_id"]).to_pandas()
+        fresh_urls = set(delta_meta["url"])
+        fresh_ids = delta_meta["doc_id"].to_numpy()
+    else:
+        fresh_urls = set()
+        fresh_ids = np.empty(0, dtype=np.int64)
 
     # old doc ids of the updated urls (their postings live in shards
     # that must be rebuilt even if the new doc_id hashes elsewhere)
-    import pyarrow.dataset as pads
-    import pyarrow.compute as pc
-
-    old_meta = pads.dataset(
-        os.path.join(index_dir, "docmeta"), format="parquet"
-    ).to_table(
-        columns=["doc_id", "url"],
-        filter=pc.field("url").isin(list(fresh_urls)),
-    )
-    old_ids = old_meta["doc_id"].to_numpy(zero_copy_only=False)
+    if fresh_urls:
+        old_meta = pads.dataset(
+            os.path.join(index_dir, "docmeta"), format="parquet"
+        ).to_table(
+            columns=["doc_id", "url"],
+            filter=pc.field("url").isin(list(fresh_urls)),
+        )
+        old_ids = old_meta["doc_id"].to_numpy(zero_copy_only=False)
+    else:
+        old_ids = np.empty(0, dtype=np.int64)
 
     n_shards = max(1, cfg.doc_shards)
     affected = sorted(
-        set((fresh_ids % n_shards).tolist()) | set((old_ids % n_shards).tolist())
+        set((fresh_ids % n_shards).tolist())
+        | set((old_ids % n_shards).tolist())
+        | set((removed_ids % n_shards).tolist())
     )
 
-    # ---- rewrite extracted/: old minus updated urls, plus delta ----------
-    urls_ref = ray.put(fresh_urls)
+    # ---- rewrite extracted/: old minus (updated ∪ removed), plus delta ---
+    urls_ref = ray.put(fresh_urls | removed_urls)
 
     def drop_updated(batch: pa.Table) -> pa.Table:
         known = ray.get(urls_ref)
@@ -139,7 +181,9 @@ def update_index(
     survivors = rd.read_parquet(d_ext).map_batches(
         drop_updated, batch_format="pyarrow"
     )
-    merged = survivors.union(rd.read_parquet(d_delta))
+    merged = (
+        survivors.union(rd.read_parquet(d_delta)) if n_fresh else survivors
+    )
     d_ext_new = os.path.join(index_dir, "_extracted_new")
     shutil.rmtree(d_ext_new, ignore_errors=True)
     merged.write_parquet(d_ext_new, min_rows_per_file=cfg.min_rows_per_file)
@@ -222,6 +266,7 @@ def update_index(
     )
     report["update"] = {
         "fresh_docs": int(n_fresh),
+        "removed_docs": int(len(removed_ids)),
         "affected_shards": [int(s) for s in affected],
         "full_segment_rebuild": bool(full_rebuild),
     }

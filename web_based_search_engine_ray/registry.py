@@ -470,15 +470,33 @@ def q_lineitem_agg(sf_dir: str):
     )
 
     def pre(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base=("l_extendedprice", "sum"),
-            sum_disc=("disc_price", "sum"),
-            n_rows=("l_quantity", "size"),
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base",
+             "sum_disc", "n_rows"]
+        )
 
     agg = (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -509,12 +527,19 @@ def q_orders_join(sf_dir: str):
 
     def join(batch: pa.Table) -> pa.Table:
         seg = ray.get(seg_ref)
-        df = batch.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(seg).fillna("UNKNOWN")
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            part=("o_totalprice", "sum")
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        seg_u = np.array(
+            [seg.get(int(c), "UNKNOWN") for c in uniq], dtype=object
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(seg_u[inv], type=pa.string()),
+                "part": batch["o_totalprice"],
+            }
+        )
+        g = t.group_by("c_mktsegment").aggregate([("part", "sum")])
+        return g.rename_columns(["c_mktsegment", "part"])
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
