@@ -48,7 +48,7 @@ def make_queries(n: int) -> list[str]:
     return out
 
 
-def run_bench() -> dict:
+def _init_session():
     import ray
 
     ray.init(
@@ -60,8 +60,30 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _fresh_session():
+    """Restart the Ray session between bench legs: a long session
+    accumulates worker churn / object-store state that inflates
+    subsequent legs by 2-3× at this scale; each leg should measure its
+    operator, not the previous leg's debris."""
+    import ray
+
+    ray.shutdown()
+    time.sleep(1)
+    _init_session()
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    _init_session()
 
     import numpy as np
 
@@ -116,6 +138,7 @@ def run_bench() -> dict:
 
     # 2. batch search (k=10 top-k incl. phrases) — scatter-gather over
     #    the doc shards (per-shard decode = 1/shards of posting data)
+    _fresh_session()
     from web_based_search_engine_ray.pipelines.search import ShardedSearcher
 
     queries = make_queries(N_QUERIES)
@@ -152,12 +175,8 @@ def run_bench() -> dict:
             "queries_per_sec": round(N_QUERIES / timings["search_batch"], 1),
         }
 
-    # re-warm the task-worker pool: the shard actors' shutdown reaps
-    # workers, and the first dataop would otherwise pay ~2 s of process
-    # respawn that has nothing to do with the measured operator
-    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
+    # fresh session for the dataops legs (see _fresh_session)
+    _fresh_session()
 
     # materialize the (small) inputs once: the dataops legs measure the
     # operators, not a repeated parquet read+split (~2 s of fixed cost

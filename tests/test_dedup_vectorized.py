@@ -100,6 +100,36 @@ def test_band_bucket_cap_blocks_quadratic_blowup(ray_session, fn_name):
     assert len(pairs) == 0  # capped, not quadratic
 
 
+def test_connected_components_and_keep_min(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        connected_components,
+        dedup_keep_min,
+    )
+
+    # chain 10-11-12-13 (diameter 3), pair 5-6, triangle-ish 1-2-3
+    pairs = rd.from_arrow(pa.table(
+        {
+            "doc_a": pa.array([1, 2, 5, 10, 11, 12], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 6, 11, 12, 13], type=pa.int64()),
+        }
+    ))
+    comp = connected_components(pairs).to_pandas()
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+
+    docs = rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 5, 6, 9, 13], type=pa.int64()),
+            "text": pa.array(list("abcdefg")),
+        }
+    ))
+    kept = dedup_keep_min(docs, pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 5, 9]
+
+
 def test_quality_and_token_count_vectorized_parity(ray_session):
     from web_based_search_engine_ray.functions.stopwords import stopword_set
     from web_based_search_engine_ray.functions.tokenize import TOKEN_RE

@@ -19,12 +19,13 @@ manifest (resume skips complete stages):
                  merges runs per (doc_shard, term-bucket); each run
                  carries block-max metadata (min/max doc, score bound)
                                      [shuffle: term bucket, compressed]
+      ├─ lexicon/   per-bucket Σ df_run / max ub_run (runs of a term
+                    all live in one bucket partition)     [no shuffle]
     forward/     second doc-local tokenize pass → per-doc term/tf lists
                  + tfMax                                  [no shuffle]
-      ├─ lexicon/   term → df, ub_adj              [shuffle: term, small]
       ▼
     docstats/    forward × broadcast(lexicon df) → doc_len_norm,
-                 partitioned by doc_shard          [no shuffle]
+                 partitioned by doc_shard                 [no shuffle]
       ▼
     meta.json    N, config, stage metrics
 
@@ -126,35 +127,23 @@ def _forward_rows_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
     return inst(batch)
 
 
-def _lexicon_partials(batch: pa.Table, *, title_weight: float) -> pa.Table:
-    """Per-batch partial lexicon rows from forward-index rows:
-    df_part = docs-in-batch per term; ub_part = max over those docs of
-    ``(a·title_tf + (1-a)·body_tf) / tfMax`` — the per-term score upper
-    bound (before idf) used by rank-safe MaxScore pruning."""
-    from web_based_search_engine_ray.stages.postings import _list_column_parts
+def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
+    """One task per term-hash bucket: read the bucket's segment files
+    (across every doc shard) and aggregate ``df = Σ df_run`` /
+    ``ub_adj = max(ub_run)`` — both EXACT, since all runs of a term
+    live in exactly one bucket and merged runs carry the max of their
+    sources' bounds.  Reading inside the task guarantees the whole
+    bucket aggregates at once (block splits can't duplicate terms)."""
+    import pyarrow.parquet as pq
 
-    ttf, lens = _list_column_parts(batch["title_tfs"])
-    btf, _ = _list_column_parts(batch["body_tfs"])
-    tf_max = batch["tf_max"].to_numpy(zero_copy_only=False)
-    terms_col = batch["terms"].combine_chunks()
-    if isinstance(terms_col, pa.ChunkedArray):
-        terms_col = terms_col.chunk(0)
-    toff = terms_col.offsets.to_numpy(zero_copy_only=False)
-    terms_flat = np.asarray(terms_col.values)[toff[0]:toff[-1]]
-    ratio = (title_weight * ttf + (1.0 - title_weight) * btf) / np.repeat(
-        tf_max, lens
-    ).astype(np.float64)
-    uniq, inv = np.unique(terms_flat, return_inverse=True)
-    df_part = np.bincount(inv, minlength=len(uniq))
-    ub_part = np.zeros(len(uniq), dtype=np.float64)
-    np.maximum.at(ub_part, inv, ratio)
-    return pa.table(
-        {
-            "term": pa.array(uniq.astype(object), type=pa.string()),
-            "df_part": pa.array(df_part, type=pa.int64()),
-            "ub_part": pa.array(ub_part, type=pa.float64()),
-        }
-    )
+    out = []
+    for paths in batch["paths"].to_pylist():
+        t = pq.read_table(list(paths), columns=["term", "df_run", "ub_run"])
+        g = t.group_by("term").aggregate(
+            [("df_run", "sum"), ("ub_run", "max")]
+        )
+        out.append(g.rename_columns(["term", "df", "ub_adj"]))
+    return pa.concat_tables(out)
 
 
 def _explode_links(batch: pa.Table) -> pa.Table:
@@ -245,7 +234,6 @@ def build_index(
     still applies.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     cfg = cfg or IndexConfig()
     os.makedirs(out_dir, exist_ok=True)
@@ -259,11 +247,13 @@ def build_index(
 
     def _extract_pipeline(ds):
         if cfg.dedup_urls:
+            # no repartition pass before the groupby: corpus readers
+            # already emit ~2 blocks/CPU (a repartition here costs one
+            # extra all-to-all move of the full html payload)
             ds = ds.map_batches(
                 functools.partial(_add_url_bucket, num_buckets=cfg.num_buckets),
                 batch_format="pyarrow",
             )
-            ds = ds.repartition(_shuffle_parts(cfg))
             ds = ds.groupby("url_bucket").map_groups(
                 _lww_group, batch_format="pyarrow"
             )
@@ -437,30 +427,37 @@ def build_index(
     n_docs = results[-1].rows  # N = docs with >=1 term (InvertedIndex.java:72)
 
     # ---- stage: lexicon (df + per-term score upper bound) ------------------
-    fp_lex = _fp("lexicon", fp_fwd)
+    fp_lex = _fp("lexicon", fp_seg)
     d_lex = os.path.join(out_dir, "lexicon")
 
     def _build_lexicon(stage_dir: str) -> int:
-        from ray.data.aggregate import Max
+        # ZERO-shuffle derivation: every run of a term lives in exactly
+        # one bucket=N partition (across all doc shards), so each
+        # bucket aggregates independently — one task per bucket reads
+        # its own files and aggregates the whole bucket at once.  (At
+        # 100-TB scale raise num_buckets so one bucket fits a task.)
+        import glob as _glob
 
-        # read at shuffle parallelism: the groupby below then needs no
-        # extra repartition pass (partials are one row per distinct term
-        # per block — already combiner-compressed)
-        ds = rd.read_parquet(
-            d_fwd, columns=["terms", "title_tfs", "body_tfs", "tf_max"],
-            override_num_blocks=_shuffle_parts(cfg),
-        )
-        partials = ds.map_batches(
-            functools.partial(_lexicon_partials, title_weight=cfg.title_weight),
-            batch_format="pyarrow",
-        )
-        lex = (
-            partials
-            .groupby("term")
-            .aggregate(
-                Sum("df_part", alias_name="df"),
-                Max("ub_part", alias_name="ub_adj"),
+        items = []
+        for b in range(cfg.num_buckets):
+            paths = sorted(
+                _glob.glob(
+                    os.path.join(d_seg, "**", f"bucket={b}", "*.parquet"),
+                    recursive=True,
+                )
             )
+            if paths:
+                items.append({"paths": paths})
+        if not items:
+            os.makedirs(stage_dir, exist_ok=True)
+            _ensure_nonempty_schema(
+                stage_dir,
+                pa.schema([("term", pa.string()), ("df", pa.int64()),
+                           ("ub_adj", pa.float64())]),
+            )
+            return 0
+        lex = rd.from_items(items).map_batches(
+            _lexicon_bucket_task, batch_size=1, batch_format="pyarrow"
         )
         lex.write_parquet(stage_dir)
         return _count_parquet(stage_dir)
@@ -475,21 +472,29 @@ def build_index(
         import pyarrow.dataset as pads
         import ray
 
-        # broadcast the lexicon df map once (tiny vs posting volume)
+        # broadcast the df lookup as sorted-hash numpy arrays (plasma
+        # zero-copy, no per-worker structure build); dict fallback on
+        # the astronomically unlikely 64-bit hash collision
+        from web_based_search_engine_ray.stages.postings import (
+            lexicon_hash_arrays,
+        )
+
         lex = pads.dataset(d_lex, format="parquet").to_table(
             columns=["term", "df"]
         )
-        df_ref = ray.put(dict(zip(lex["term"].to_pylist(),
-                                  lex["df"].to_pylist())))
-        # read at the block count we want on disk: a partitioned write
-        # fans out to blocks × shards files, and an extra repartition
-        # pass would cost more than it saves at small scale
-        n_blocks = max(1, min(_shuffle_parts(cfg),
-                              128 // max(1, cfg.doc_shards)))
+        terms = lex["term"].to_pylist()
+        dfs = lex["df"].to_numpy(zero_copy_only=False)
+        try:
+            df_ref = ray.put(lexicon_hash_arrays(terms, dfs))
+        except ValueError:
+            df_ref = dict(zip(terms, dfs.tolist()))
+        # compute at full parallelism; the tiny (doc_id, tf_max, norm)
+        # result is coalesced below so the partitioned write doesn't fan
+        # out to blocks × shards files
         ds = rd.read_parquet(
             d_fwd, columns=["doc_id", "terms", "title_tfs", "body_tfs",
                             "tf_max"],
-            override_num_blocks=n_blocks,
+            override_num_blocks=_shuffle_parts(cfg),
         )
         stats = ds.map_batches(
             functools.partial(doc_stats_batch, n_docs=n_docs, df_ref=df_ref),
@@ -510,6 +515,9 @@ def build_index(
                     ),
                 ),
                 batch_format="pyarrow",
+            ).repartition(
+                max(1, min(_shuffle_parts(cfg),
+                           128 // max(1, cfg.doc_shards)))
             )
             stats.write_parquet(stage_dir, partition_cols=["doc_shard"])
         else:

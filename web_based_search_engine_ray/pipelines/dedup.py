@@ -35,6 +35,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
 from web_based_search_engine_ray.util import coalesce
@@ -771,6 +772,134 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
     return coalesce(pairs).groupby("pb").map_groups(
         dedup, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------ components / keep-min
+def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
+                         max_iters: int = 50):
+    """Connected components of an undirected pair table via distributed
+    hash-min label propagation: every node repeatedly adopts the
+    minimum label among itself and its neighbors (converges in
+    ≤ diameter rounds; labels are monotonically non-increasing, so a
+    stable label sum certifies convergence).
+
+    Each round is two keyed shuffles over (edges + labels) — no
+    driver-side graph.  Returns a Dataset of ``(node, component)`` with
+    ``component`` = the minimum node id in the component.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [b[src].combine_chunks(), b[dst].combine_chunks()]
+                ),
+                "other": pa.concat_arrays(
+                    [b[dst].combine_chunks(), b[src].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # initial labels: every endpoint labels itself
+    labels = coalesce(edges).groupby("key").aggregate(
+        Min("other", alias_name="_m")
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["key"],
+                "lbl": pc.min_element_wise(b["key"], b["_m"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        cur = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+        def spread(group: pa.Table) -> pa.Table:
+            # one group per node: its label row(s) + its edge rows;
+            # broadcast the node's min label to every neighbor and
+            # back to the node itself
+            lbls = group["lbl"].drop_null()
+            m = pc.min(lbls).as_py()
+            others = group["other"].drop_null()
+            node = group["key"][0]
+            return pa.table(
+                {
+                    "key": pa.concat_arrays(
+                        [others.combine_chunks(),
+                         pa.array([node.as_py()], type=pa.int64())]
+                    ),
+                    "lbl": pa.array(
+                        [m] * (len(others) + 1), type=pa.int64()
+                    ),
+                }
+            )
+
+        tagged_edges = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["key"],
+                    "other": b["other"],
+                    "lbl": pa.nulls(b.num_rows, type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["key"],
+                    "other": pa.nulls(b.num_rows, type=pa.int64()),
+                    "lbl": b["lbl"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = coalesce(tagged_edges.union(tagged_labels)).groupby(
+            "key"
+        ).map_groups(spread, batch_format="pyarrow")
+        labels = coalesce(msgs).groupby("key").aggregate(
+            Min("lbl", alias_name="lbl")
+        ).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["key"], "component": b["lbl"]}),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id"):
+    """End-to-end fuzzy dedup: given near-dup ``pairs`` (from any of
+    the pair generators), keep only the minimum-id member of every
+    connected component.  Docs in no pair survive untouched.  The
+    drop set (component members above the root) is broadcast — it is
+    bounded by the duplicate count, not the corpus."""
+    import ray
+
+    comp = connected_components(pairs).to_pandas()
+    drop = set(
+        comp.loc[comp["node"] != comp["component"], "node"].tolist()
+    )
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        gone = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (int(i) not in gone for i in ids), dtype=bool, count=len(ids)
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def embedding_dup_pairs_exact(ds, *, threshold: float = 0.98):

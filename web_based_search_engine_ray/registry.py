@@ -316,6 +316,20 @@ def q_minhash_pairs(sf_dir: str):
     return pairs[["doc_a", "doc_b", "est_jaccard"]]
 
 
+def q_minhash_dedup(sf_dir: str):
+    """End-to-end fuzzy dedup: MinHash-LSH pairs → distributed
+    connected components (hash-min label propagation) → keep the
+    min-id member per component."""
+    from web_based_search_engine_ray.pipelines.dedup import (
+        dedup_keep_min,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_keep_min(docs, pairs).select_columns(["doc_id"])
+
+
 def q_simhash_pairs(sf_dir: str):
     from web_based_search_engine_ray.pipelines.dedup import simhash_pairs
 
@@ -358,13 +372,33 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ivf_ann(sf_dir: str):
-    """Rows-only (approximate by design)."""
-    from web_based_search_engine_ray.pipelines.similarity import IvfIndex
+    """Rows-only (approximate by design — no SQL oracle can pin the
+    probe subset), but self-verifying: recall@10 against the exact
+    brute-force top-k is asserted before returning."""
+    from web_based_search_engine_ray.pipelines.similarity import (
+        IvfIndex,
+        brute_force_topk,
+    )
 
     emb = _embeddings(sf_dir)
     qrows = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    qv = np.asarray(qrows["embedding"].tolist())
     idx = IvfIndex(n_clusters=8, iters=3).fit(emb)
-    return idx.search(np.asarray(qrows["embedding"].tolist()), k=10, nprobe=3)
+    res = idx.search(qv, k=10, nprobe=3)
+
+    truth = brute_force_topk(emb, qv, k=10)
+    hits = 0
+    for qid in range(len(qv)):
+        got = set(res.loc[res["query_id"] == qid, "vec_id"])
+        exp = set(truth.loc[truth["query_id"] == qid, "vec_id"])
+        hits += len(got & exp)
+    recall = hits / max(1, len(truth))
+    # near-orthogonal synthetic vectors have no cluster structure, so
+    # nprobe=3/8 recall sits around 0.5; the gate catches breakage, not
+    # tuning drift
+    if recall < 0.3:
+        raise AssertionError(f"ivf_ann recall@10 vs brute force: {recall}")
+    return res
 
 
 def q_token_count(sf_dir: str):
@@ -578,6 +612,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -960,6 +995,27 @@ def oracle_sql():
         "langid": _lang_profile_sql(),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=8),
         "minhash_pairs": _minhash_pairs_sql(),
+        # recursive transitive closure over the exact minhash pair set,
+        # keep the min doc per component (mirrors connected_components
+        # + dedup_keep_min)
+        "minhash_dedup": f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS s, doc_b AS d
+                FROM ({_minhash_pairs_sql()})
+                UNION
+                SELECT doc_b, doc_a FROM ({_minhash_pairs_sql()})
+            ),
+            reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            dropped AS (
+                SELECT s AS node FROM reach GROUP BY s HAVING MIN(d) < s
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
+        """,
         "media_features": _media_features_sql(),
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -494,6 +494,31 @@ def _list_column_parts(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return values, lengths
 
 
+#: per-worker term → md5-hash memo for the docstats df lookup
+_DF_HASH_MEMO: dict[str, int] = {}
+
+
+def lexicon_hash_arrays(terms: list[str], dfs) -> tuple:
+    """Driver-side build of the broadcastable df lookup: sorted uint64
+    md5-prefix hashes + aligned df values.  Raises on a hash collision
+    (probability ~V²/2^65; the caller then falls back to a dict)."""
+    import hashlib
+
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in terms
+        ),
+        dtype=np.uint64,
+        count=len(terms),
+    )
+    order = np.argsort(hv, kind="stable")
+    hv = hv[order]
+    if len(hv) > 1 and (hv[1:] == hv[:-1]).any():
+        raise ValueError("term hash collision")
+    return hv, np.asarray(dfs, dtype=np.float64)[order]
+
+
 def doc_stats_batch(batch: pa.Table, *, n_docs: int, df_ref) -> pa.Table:
     """Forward rows → ``(doc_id, tf_max, doc_len_norm)``.
 
@@ -503,25 +528,49 @@ def doc_stats_batch(batch: pa.Table, *, n_docs: int, df_ref) -> pa.Table:
     here).  A single-doc corpus gives idf=0 → norm 0 → NaN scores, which
     is reproduced deliberately (reference behavior).
 
-    ``df_ref``: ``ray.ObjectRef`` of the term→df dict (broadcast once
-    via ``ray.put`` — the lexicon is tiny relative to posting volume, so
-    this replaces a full doc shuffle).  At vocabularies too large to
-    broadcast, partition the lexicon by term bucket and map-side join
-    per bucket instead."""
-    import ray
+    ``df_ref``: dict (small/test path) or ``ray.ObjectRef`` of
+    ``(sorted_term_hashes: uint64 ndarray, dfs: float64 ndarray)`` built
+    once on the driver by :func:`lexicon_hash_arrays` — numpy arrays
+    ride plasma ZERO-COPY, so workers pay no per-worker structure build
+    (a broadcast dict cost ~4 s of deserialization per worker at a
+    1.8M-term vocabulary).  Lookup = md5-hash the batch's unique terms
+    (worker-memoized) + one vectorized searchsorted.  At vocabularies
+    too large to broadcast, partition the lexicon by term bucket and
+    map-side join per bucket instead."""
+    import pyarrow.compute as pc
 
-    df_map = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
     ttf_flat, lens = _list_column_parts(batch["title_tfs"])
     btf_flat, _ = _list_column_parts(batch["body_tfs"])
     terms_col = batch["terms"].combine_chunks()
     if isinstance(terms_col, pa.ChunkedArray):
         terms_col = terms_col.chunk(0)
     toff = terms_col.offsets.to_numpy(zero_copy_only=False)
-    terms_flat = np.asarray(terms_col.values)[toff[0]:toff[-1]]
-    uniq, inv = np.unique(terms_flat, return_inverse=True)
-    df_uniq = np.fromiter(
-        (df_map[t] for t in uniq), dtype=np.float64, count=len(uniq)
-    )
+    flat = terms_col.values.slice(toff[0], toff[-1] - toff[0])
+    # C++ hash-based unique (no numpy object-array sort over tens of
+    # millions of Python strings); df looked up once per batch-unique
+    enc = pc.dictionary_encode(flat)
+    uniq = enc.dictionary.to_pylist()
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    if isinstance(df_ref, dict):
+        df_uniq = np.fromiter(
+            (df_ref[t] for t in uniq), dtype=np.float64, count=len(uniq)
+        )
+    else:
+        import ray
+
+        hv_sorted, df_sorted = ray.get(df_ref)
+        memo = _DF_HASH_MEMO
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = memo.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    __import__("hashlib").md5(t.encode()).digest()[:8], "big"
+                )
+                if len(memo) < 1 << 20:
+                    memo[t] = h
+            uh[i] = h
+        df_uniq = df_sorted[np.searchsorted(hv_sorted, uh)]
     df_flat = df_uniq[inv]
     tf_max = batch["tf_max"].to_numpy(zero_copy_only=False)
     tf_flat = ttf_flat + btf_flat
