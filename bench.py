@@ -235,7 +235,9 @@ def run_scaling() -> dict:
         os.environ.get("GRAFT_CORPUS_REPEAT", "360"),
     )
 
-    def run(ncpu: int) -> dict:
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_CORPUS_REPEAT=scaling_repeat,
                    GRAFT_BENCH_CORE_ONLY="1")
@@ -245,6 +247,12 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N: host wall-clock noise is ±30%; the minimum wall
+        # time per level is the least-contaminated sample
+        rs = [run_once(ncpu) for _ in range(n_runs)]
+        return min(rs, key=lambda r: r["value"])
 
     lo, hi = 8, 32
     r_lo = run(lo)
