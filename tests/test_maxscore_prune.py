@@ -64,18 +64,34 @@ def test_segments_carry_block_max_metadata(idx):
     assert (ub > 0).all() and (ub <= 1.0).all()
 
 
-def test_restricted_phase_skips_runs(idx):
-    """On a restricted-eligible query (tiny k, one dominant rare term +
-    common terms) the block-max path must decode fewer runs than it
-    considers, while staying rank-identical (covered above)."""
+def test_restricted_phase_skips_runs(ray_session, sf_dir, tmp_path_factory):
+    """On a multi-run index (small tokenize blocks + run chunking) the
+    pruned path must decode strictly fewer runs than exhaustive
+    scoring, while staying rank-identical."""
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
     from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
 
-    s = Searcher(idx)
+    d = str(tmp_path_factory.mktemp("runskip") / "idx")
+    build_index(
+        lambda: synth_corpus(sf_dir), d,
+        IndexConfig(max_run_docs=64, tokenize_batch_size=64,
+                    shuffle_partitions=4, extract_concurrency=(1, 2),
+                    tokenize_concurrency=(1, 2)),
+        input_key="runskip", resume=False,
+    )
     words = {"42", "merge", "join", "batch", "stream", "window"}
-    s.search(words, k=1, hydrate=False, prune=True)
-    stats = s.run_stats
-    assert stats["considered"] > 0
-    assert stats["decoded"] <= stats["considered"]
+    decoded = {}
+    for prune in (False, True):
+        s = Searcher(d)
+        res = s.search(words, k=1, hydrate=False, prune=prune)
+        decoded[prune] = s.run_stats["decoded"]
+        if prune:
+            assert res["doc_id"].tolist() == top_unpruned
+        else:
+            top_unpruned = res["doc_id"].tolist()
+    assert decoded[True] < decoded[False]
 
 
 def test_prune_actually_restricts(idx):

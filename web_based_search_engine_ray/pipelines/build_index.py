@@ -524,6 +524,19 @@ def build_index(
             stats.write_parquet(
                 stage_dir, min_rows_per_file=cfg.min_rows_per_file
             )
+        # global corpus stats for BM25 (avgdl must be corpus-wide, not
+        # per shard) — one skinny column scan at build time
+        tok = pads.dataset(stage_dir, format="parquet",
+                           partitioning="hive").to_table(
+            columns=["n_tokens"]
+        )
+        total_tokens = int(
+            np.sum(tok["n_tokens"].to_numpy(zero_copy_only=False))
+        )
+        mf.write_json(
+            os.path.join(stage_dir, "_STATS.json"),
+            {"total_tokens": total_tokens, "n_docs": int(n_docs)},
+        )
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_stats, fp_stats, _build_docstats, resume=resume))

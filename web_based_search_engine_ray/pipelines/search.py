@@ -69,6 +69,10 @@ class Searcher:
     #: max cached terms (decoded posting arrays); the Zipfian query
     #: distribution makes even a small cache very effective
     CACHE_TERMS = 65536
+    #: BM25 parameters (the ``mode="bm25"`` engine extension; the
+    #: reference-conformant TF-IDF stays the default scorer)
+    BM25_K1 = 1.2
+    BM25_B = 0.75
 
     def __init__(self, index_dir: str, doc_shard: int | None = None):
         """``doc_shard``: restrict scoring/phrase state to one document
@@ -114,20 +118,32 @@ class Searcher:
             if doc_shard is not None
             else None
         )
-        if part is not None and os.path.isdir(part):
-            stats = pads.dataset(part, format="parquet").to_table(
-                columns=["doc_id", "tf_max", "doc_len_norm"]
-            ).sort_by("doc_id")
+        src = part if (part is not None and os.path.isdir(part)) else d_stats
+        sds = pads.dataset(src, format="parquet")
+        stat_cols = ["doc_id", "tf_max", "doc_len_norm"]
+        has_ntok = "n_tokens" in sds.schema.names
+        if has_ntok:
+            stat_cols.append("n_tokens")
+        stats = sds.to_table(columns=stat_cols).sort_by("doc_id")
+        if src is d_stats and doc_shard is not None:
+            n_shards = max(1, self.cfg.doc_shards)
+            ids = stats["doc_id"].to_numpy(zero_copy_only=False)
+            stats = stats.filter(pa.array(ids % n_shards == doc_shard))
+        self._n_tokens = (
+            stats["n_tokens"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            if has_ntok else None
+        )
+        # corpus-global average doc length (BM25 avgdl) — written by the
+        # build; per-shard fallback only for pre-v4 indexes
+        stats_json = os.path.join(d_stats, "_STATS.json")
+        if os.path.isfile(stats_json):
+            gs = mf.read_json(stats_json)
+            self.avgdl = gs["total_tokens"] / max(1, gs["n_docs"])
+        elif self._n_tokens is not None and len(self._n_tokens):
+            self.avgdl = float(self._n_tokens.mean())
         else:
-            stats = pads.dataset(d_stats, format="parquet").to_table(
-                columns=["doc_id", "tf_max", "doc_len_norm"]
-            ).sort_by("doc_id")
-            if doc_shard is not None:
-                n_shards = max(1, self.cfg.doc_shards)
-                ids = stats["doc_id"].to_numpy(zero_copy_only=False)
-                stats = stats.filter(
-                    pa.array(ids % n_shards == doc_shard)
-                )
+            self.avgdl = 0.0
         self._stat_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
         self._tf_max = stats["tf_max"].to_numpy(zero_copy_only=False).astype(np.float64)
         self._norm = stats["doc_len_norm"].to_numpy(zero_copy_only=False)
@@ -302,6 +318,34 @@ class Searcher:
             self._partial_cache[term] = out
         return out
 
+    def _term_partial_bm25(self, term: str, df: int):
+        """BM25 per-term partials (Robertson idf, k1/b length
+        normalization over the raw token count |d| and corpus avgdl).
+        The arithmetic association mirrors the SQL oracle exactly."""
+        key = ("bm25", term)
+        cached = self._partial_cache.get(key)
+        if cached is not None:
+            return cached
+        p = self.postings(term)
+        if p is None:
+            out = None
+        else:
+            ids, ttf, btf = p
+            tf = (ttf + btf).astype(np.float64)
+            idf = math.log(
+                (self.n_docs - df + 0.5) / (df + 0.5) + 1.0
+            )
+            pos = np.searchsorted(self._stat_ids, ids)
+            K = self.BM25_K1 * (
+                1.0 - self.BM25_B
+                + self.BM25_B * self._n_tokens[pos] / self.avgdl
+            )
+            num = tf * (self.BM25_K1 + 1.0)
+            out = (ids, idf * num / (tf + K), pos)
+        if len(self._partial_cache) < self.CACHE_TERMS:
+            self._partial_cache[key] = out
+        return out
+
     def scores(self, words, k: int | None = None,
                prune: bool = False) -> dict[int, float]:
         """Dict facade over :meth:`scores_arrays` (reference-shaped API)."""
@@ -359,7 +403,7 @@ class Searcher:
         return ids, adj * idf / self._tf_max[pos2], pos2
 
     def scores_arrays(self, words, k: int | None = None,
-                      prune: bool = False):
+                      prune: bool = False, mode: str = "ref"):
         """``InvertedIndex.getScores`` (OR-merge + cosine normalization)
         returning ``(doc_ids, scores)`` numpy arrays.
 
@@ -389,8 +433,17 @@ class Searcher:
                 entries.append((t, int(self._lex_df[ix]), ub_adj))
         if not entries:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        bm25 = mode == "bm25"
+        if bm25 and self._n_tokens is None:
+            raise ValueError(
+                "bm25 scoring needs the n_tokens docstats column "
+                "(rebuild the index with format >= v4)"
+            )
+        # MaxScore bounds are derived for the reference scorer; bm25
+        # runs exhaustive (its ub would be idf·(k1+1) — future work)
         prune = bool(
-            prune and k and self._can_prune and self._lex_ub is not None
+            prune and not bm25 and k and self._can_prune
+            and self._lex_ub is not None
         )
 
         if prune:
@@ -441,7 +494,10 @@ class Searcher:
                     hit = touched[pos]
                     acc[pos[hit]] += partial[hit]
                 else:
-                    tp = self._term_partial(term, df)
+                    tp = (
+                        self._term_partial_bm25(term, df)
+                        if bm25 else self._term_partial(term, df)
+                    )
                     if tp is None:
                         continue
                     _ids, partial, pos = tp
@@ -452,8 +508,11 @@ class Searcher:
             if not len(cand_pos):
                 return (np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.float64))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                final = acc[cand_pos] / self._norm[cand_pos]
+            if bm25:
+                final = acc[cand_pos].copy()
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    final = acc[cand_pos] / self._norm[cand_pos]
             return self._stat_ids[cand_pos], final
         finally:
             # reset the reusable buffers (O(candidates), not O(corpus))
@@ -500,13 +559,14 @@ class Searcher:
         k: int | None = None,
         hydrate: bool = True,
         prune: bool = False,
+        mode: str = "ref",
     ) -> pd.DataFrame:
         k = k if k is not None else self.cfg.max_results
         phrase = phrase or []
         # pruning is rank-safe only for a plain top-k (a phrase semi-join
         # could promote below-threshold docs into the final top-k)
         ids, vals = self.scores_arrays(
-            words, k=k, prune=prune and not phrase
+            words, k=k, prune=prune and not phrase, mode=mode
         )
         stemmed_phrase = [
             w for w in (self.stem_query_word(x) for x in phrase) if w
@@ -773,12 +833,12 @@ class ShardedSearcher:
         self._brokers: list = []
 
     def search(self, words, phrase=None, k: int | None = None,
-               hydrate: bool = False) -> pd.DataFrame:
+               hydrate: bool = False, mode: str = "ref") -> pd.DataFrame:
         import ray
 
         k = k if k is not None else self.cfg.max_results
         futs = [
-            a.search.remote(words, phrase, k=k, hydrate=False)
+            a.search.remote(words, phrase, k=k, hydrate=False, mode=mode)
             for a in self._actors
         ]
         parts = [p for p in ray.get(futs) if len(p)]

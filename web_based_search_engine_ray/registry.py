@@ -172,6 +172,19 @@ def q_tfidf_search(sf_dir: str):
     return res[["doc_id", "score"]]
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 top-k engine extension (k1=1.2, b=0.75, Robertson idf) —
+    the BASELINE metric's scorer; the reference-conformant TF-IDF
+    remains the default mode."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    s = Searcher(idx)
+    res = s.search(set(_SEARCH_TERMS), k=10**9, hydrate=False, mode="bm25")
+    res["score"] = np.round(res["score"], 9)
+    return res[["doc_id", "score"]]
+
+
 def q_phrase_search(sf_dir: str):
     from web_based_search_engine_ray.pipelines.search import Searcher
 
@@ -604,6 +617,7 @@ def queries():
         "term_df": q_term_df,
         "doc_stats": q_doc_stats,
         "tfidf_search": q_tfidf_search,
+        "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "link_edges": q_link_edges,
         "docmeta": q_docmeta,
@@ -877,6 +891,30 @@ def oracle_sql():
                    ROUND(SUM(p.p) / ANY_VALUE(l.doc_len), 9) AS score
             FROM partials p JOIN doclen l ON p.doc_id = l.doc_id
             GROUP BY p.doc_id
+        """,
+        # BM25 (k1=1.2, b=0.75, Robertson idf); arithmetic association
+        # mirrors Searcher._term_partial_bm25 exactly
+        "bm25_search": _SCORE_CTES + f"""
+            , dl AS (
+                SELECT doc_id,
+                       CAST(SUM(title_tf + body_tf) AS DOUBLE) AS dl
+                FROM tf GROUP BY doc_id
+            ),
+            ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+            bp AS (
+                SELECT t.doc_id,
+                       LN((CAST(nn.n AS DOUBLE) - d.df + 0.5)
+                          / (d.df + 0.5) + 1.0)
+                       * ((t.title_tf + t.body_tf) * (1.2 + 1.0))
+                       / ((t.title_tf + t.body_tf)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+                       AS p
+                FROM tf t, df d, dl, ad, nn
+                WHERE t.term = d.term AND t.doc_id = dl.doc_id
+                  AND t.term IN ({terms_in})
+            )
+            SELECT doc_id, ROUND(SUM(p), 9) AS score
+            FROM bp GROUP BY doc_id
         """,
         "phrase_search": f"""
             WITH btoks AS ({_BODY_TOKENS}),

@@ -580,10 +580,15 @@ def doc_stats_batch(batch: pa.Table, *, n_docs: int, df_ref) -> pa.Table:
     row_of = np.repeat(np.arange(batch.num_rows), lens)
     np.add.at(sums, row_of, contrib)
     norm = np.sqrt(sums) / tf_max
+    # raw token count per doc (BM25 |d|; avgdl is recorded globally in
+    # docstats/_STATS.json by the build)
+    n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(n_tokens, row_of, tf_flat)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "tf_max": batch["tf_max"],
             "doc_len_norm": pa.array(norm, type=pa.float64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
         }
     )
