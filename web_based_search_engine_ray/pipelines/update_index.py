@@ -81,6 +81,19 @@ def update_index(
 
     cfg = cfg or IndexConfig()
     sem = cfg.semantic_key()
+    # refuse to mix segment formats: untouched shard partitions are kept
+    # byte-identical, so the stored index must have been built with the
+    # same semantic config (incl. format_version) as this update
+    stored_meta = mf.read_json(os.path.join(index_dir, "meta.json"))
+    from web_based_search_engine_ray.pipelines.search import _load_cfg
+
+    stored_sem = _load_cfg(stored_meta["config"]).semantic_key()
+    if stored_sem != sem:
+        raise ValueError(
+            f"index at {index_dir} was built with semantic config "
+            f"{stored_sem}; update requires {sem} — rebuild with "
+            "build_index instead of updating across formats"
+        )
     d_ext = os.path.join(index_dir, "extracted")
     d_seg = os.path.join(index_dir, "segments")
     if not os.path.isdir(d_ext) and os.path.isdir(
