@@ -69,6 +69,10 @@ class Searcher:
     #: max cached terms (decoded posting arrays); the Zipfian query
     #: distribution makes even a small cache very effective
     CACHE_TERMS = 65536
+    #: byte budget across all decode caches — a count-only cap would
+    #: let a handful of web-scale Zipf-head posting lists exhaust the
+    #: actor heap
+    CACHE_BYTES = 512 * 1024 * 1024
     #: BM25 parameters (the ``mode="bm25"`` engine extension; the
     #: reference-conformant TF-IDF stays the default scorer)
     BM25_K1 = 1.2
@@ -93,6 +97,7 @@ class Searcher:
         #: reusable dense scoring buffers (allocated on first query)
         self._acc: np.ndarray | None = None
         self._touched: np.ndarray | None = None
+        self._cache_bytes = 0
 
         # Lexicon kept as SORTED Arrow arrays with binary-search lookup
         # (no Python dict of the whole vocabulary: a web-scale vocab as
@@ -213,14 +218,26 @@ class Searcher:
             flt = flt & extra_filter
         return self._segments.to_table(columns=columns, filter=flt)
 
+    def _maybe_cache(self, cache: dict, key, out) -> None:
+        """Admit ``out`` to a decode cache only within the count AND
+        byte budgets (no eviction — admission control keeps hot Zipf
+        terms that arrived first)."""
+        nbytes = (
+            sum(a.nbytes for a in out if isinstance(a, np.ndarray))
+            if out else 0
+        )
+        if (len(cache) < self.CACHE_TERMS
+                and self._cache_bytes + nbytes <= self.CACHE_BYTES):
+            cache[key] = out
+            self._cache_bytes += nbytes
+
     def postings(self, term: str):
         """Merged runs → (doc_ids, title_tfs, body_tfs), doc-sorted.
         Decoded arrays are cached per term (bounded)."""
         if term in self._post_cache:
             return self._post_cache[term]
         out = self._postings_uncached(term)
-        if len(self._post_cache) < self.CACHE_TERMS:
-            self._post_cache[term] = out
+        self._maybe_cache(self._post_cache, term, out)
         return out
 
     def _postings_uncached(self, term: str):
@@ -256,8 +273,7 @@ class Searcher:
         if term in self._pos_cache:
             return self._pos_cache[term]
         out = self._positions_uncached(term)
-        if len(self._pos_cache) < self.CACHE_TERMS:
-            self._pos_cache[term] = out
+        self._maybe_cache(self._pos_cache, term, out)
         return out
 
     def _positions_uncached(self, term: str):
@@ -314,8 +330,7 @@ class Searcher:
             adj = a * ttf + (1.0 - a) * btf
             pos = np.searchsorted(self._stat_ids, ids)
             out = (ids, adj * idf / self._tf_max[pos], pos)
-        if len(self._partial_cache) < self.CACHE_TERMS:
-            self._partial_cache[term] = out
+        self._maybe_cache(self._partial_cache, term, out)
         return out
 
     def _term_partial_bm25(self, term: str, df: int):
@@ -342,8 +357,7 @@ class Searcher:
             )
             num = tf * (self.BM25_K1 + 1.0)
             out = (ids, idf * num / (tf + K), pos)
-        if len(self._partial_cache) < self.CACHE_TERMS:
-            self._partial_cache[key] = out
+        self._maybe_cache(self._partial_cache, key, out)
         return out
 
     def scores(self, words, k: int | None = None,
