@@ -275,32 +275,64 @@ class TokenizeEncode(PostingExtractor):
                 buckets.append(stable_hash63(term) % nb)
                 out_shards.append(int(shards_np[i]))
 
-        # --- general path: multi-doc runs
-        for s, e in zip(starts[~single], ends[~single]):
-            term = str(terms_np[s])
-            ids = docs_np[s:e]
-            ttfs = all_ttf[s:e]
-            btfs = all_btf[s:e]
-            tflat = (
-                np.concatenate([np.asarray(x, np.int64) for x in tpos[s:e]])
-                if ttfs.sum() else np.empty(0, np.int64)
+        # --- general path: multi-doc runs, batch-encoded like the
+        # singles (frame-wise delta + one sliced varbyte pass per
+        # column instead of five codec calls per term)
+        m_starts = starts[~single]
+        m_ends = ends[~single]
+        if m_starts.size:
+            run_lens = (m_ends - m_starts).astype(np.int64)
+            multi_mask = np.repeat(~single, sizes)
+            rows_multi = np.flatnonzero(multi_mask)
+            ids_all = docs_np[multi_mask]
+            ttfs_all = all_ttf[multi_mask]
+            btfs_all = all_btf[multi_mask]
+            gap_blobs_m = codec.varbyte_encode_slices(
+                codec.delta_concat(ids_all, run_lens), run_lens
             )
-            bflat = (
-                np.concatenate([np.asarray(x, np.int64) for x in bpos[s:e]])
-                if btfs.sum() else np.empty(0, np.int64)
+            ttf_blobs_m = codec.varbyte_encode_slices(
+                ttfs_all.astype(np.uint64), run_lens
             )
-            rows["term"].append(term)
-            rows["df_run"].append(int(e - s))
-            rows["min_doc"].append(int(ids[0]))
-            rows["max_doc"].append(int(ids[-1]))
-            rows["ub_run"].append(float(all_ratio[s:e].max()))
-            rows["doc_gaps"].append(codec.encode_sorted(ids))
-            rows["title_tfs"].append(codec.varbyte_encode(ttfs.astype(np.uint64)))
-            rows["body_tfs"].append(codec.varbyte_encode(btfs.astype(np.uint64)))
-            rows["title_pos"].append(codec.encode_concat_positions(tflat, ttfs))
-            rows["body_pos"].append(codec.encode_concat_positions(bflat, btfs))
-            buckets.append(stable_hash63(term) % nb)
-            out_shards.append(int(shards_np[s]))
+            btf_blobs_m = codec.varbyte_encode_slices(
+                btfs_all.astype(np.uint64), run_lens
+            )
+            tflat_all = (
+                np.concatenate(
+                    [np.asarray(tpos[i], np.int64) for i in rows_multi]
+                )
+                if ttfs_all.sum() else np.empty(0, np.int64)
+            )
+            bflat_all = (
+                np.concatenate(
+                    [np.asarray(bpos[i], np.int64) for i in rows_multi]
+                )
+                if btfs_all.sum() else np.empty(0, np.int64)
+            )
+            offs = np.concatenate(([0], np.cumsum(run_lens)))[:-1]
+            tpos_counts = np.add.reduceat(ttfs_all, offs)
+            bpos_counts = np.add.reduceat(btfs_all, offs)
+            tpos_blobs_m = codec.varbyte_encode_slices(
+                codec.delta_concat(tflat_all, ttfs_all), tpos_counts
+            )
+            bpos_blobs_m = codec.varbyte_encode_slices(
+                codec.delta_concat(bflat_all, btfs_all), bpos_counts
+            )
+            ratio_multi = all_ratio[multi_mask]
+            ub_m = np.maximum.reduceat(ratio_multi, offs)
+            for j, s in enumerate(m_starts):
+                term = str(terms_np[s])
+                rows["term"].append(term)
+                rows["df_run"].append(int(run_lens[j]))
+                rows["min_doc"].append(int(docs_np[s]))
+                rows["max_doc"].append(int(docs_np[m_ends[j] - 1]))
+                rows["ub_run"].append(float(ub_m[j]))
+                rows["doc_gaps"].append(gap_blobs_m[j])
+                rows["title_tfs"].append(ttf_blobs_m[j])
+                rows["body_tfs"].append(btf_blobs_m[j])
+                rows["title_pos"].append(tpos_blobs_m[j])
+                rows["body_pos"].append(bpos_blobs_m[j])
+                buckets.append(stable_hash63(term) % nb)
+                out_shards.append(int(shards_np[s]))
         run0 = int(docs_np[0] % (1 << 30))
         return _segment_table(
             rows, out_shards, buckets, [run0] * len(buckets), nb
