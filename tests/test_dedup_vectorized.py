@@ -5,6 +5,7 @@ import hashlib
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -190,3 +191,49 @@ def test_ivf_partitioned_store(ray_session, tmp_path):
     assert top0["vec_id"] == 0
     # only probed partitions were loaded
     assert len(idx._cluster_cache) <= 2 * 3
+
+
+def test_connected_components_long_chain(ray_session):
+    """A duplicate CHAIN (diameter = n) is the hash-min worst case; the
+    pointer-jumping half-step must converge it in O(log n) rounds —
+    this would take 100k rounds (and hours) without it."""
+    import time
+
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    n = 100_001
+    pairs = rd.from_pandas(
+        pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
+    )
+    t0 = time.time()
+    comp = connected_components(pairs).to_pandas()
+    assert len(comp) == n
+    assert (comp["component"] == 0).all()
+    assert time.time() - t0 < 120  # seconds, not O(diameter) rounds
+
+
+def test_connected_components_mixed_topologies(ray_session):
+    """Cliques + a star, disjoint: every node must label to the min id
+    of its own component and nothing leaks across components."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    e = []
+    for base in (200_000, 300_000):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                e.append((base + i, base + j))
+    for i in range(1, 50):
+        e.append((400_000, 400_000 + i))
+    pairs = rd.from_pandas(pd.DataFrame(e, columns=["doc_a", "doc_b"]))
+    comp = connected_components(pairs).to_pandas()
+    sizes = comp.groupby("component").size()
+    assert sorted(sizes.values) == [10, 10, 50]
+    assert set(sizes.index) == {200_000, 300_000, 400_000}

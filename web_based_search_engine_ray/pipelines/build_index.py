@@ -142,7 +142,15 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate(
             [("df_run", "sum"), ("ub_run", "max")]
         )
-        out.append(g.rename_columns(["term", "df", "ub_adj"]))
+        out.append(
+            pa.table(
+                {
+                    "term": g["term"],
+                    "df": g["df_run_sum"],
+                    "ub_adj": g["ub_run_max"],
+                }
+            )
+        )
     return pa.concat_tables(out)
 
 

@@ -775,101 +775,195 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
 
 
 # ------------------------------------------------ components / keep-min
+_CC_SENTINEL = np.int64(1) << 62  # > any real node id; inert under min
+
+
+def _cc_min_per_key(keys: np.ndarray, lbl: np.ndarray):
+    """Vectorized per-key min over a SORTED-BY-KEY row block: returns
+    (unique_keys, min_label_per_key, per-row broadcast of that min)."""
+    n = len(keys)
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    kmin = np.minimum.reduceat(lbl, starts)
+    rep = np.repeat(kmin, np.diff(np.r_[starts, n]))
+    return keys[starts], kmin, rep
+
+
 def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
-                         max_iters: int = 50):
+                         max_iters: int = 50, num_buckets: int = 64):
     """Connected components of an undirected pair table via distributed
     hash-min label propagation: every node repeatedly adopts the
     minimum label among itself and its neighbors (converges in
     ≤ diameter rounds; labels are monotonically non-increasing, so a
-    stable label sum certifies convergence).
+    stable label sum certifies convergence — and a sum still moving at
+    ``max_iters`` RAISES rather than silently returning wrong
+    components).
 
-    Each round is two keyed shuffles over (edges + labels) — no
-    driver-side graph.  Returns a Dataset of ``(node, component)`` with
-    ``component`` = the minimum node id in the component.
+    Each half-round is two shuffles keyed on ``hash(node) %
+    num_buckets`` (not on the node id itself), and each group function
+    is a numpy sort + ``minimum.reduceat`` over the whole bucket — no
+    per-node Python calls, so the round cost is O(edges) vectorized
+    work over ``num_buckets`` groups regardless of node count.  Plain
+    hash-min needs O(diameter) rounds (a duplicate CHAIN of n docs
+    would need n rounds), so every round also runs a POINTER-JUMPING
+    half-step — ``lbl[v] ← min(lbl[v], lbl[lbl[v]])``, expressed as
+    the same spread/combine pass over the label-pointer edges — which
+    doubles label-hop distance per round and brings chains to
+    O(log n) rounds.  No driver-side graph.  Returns a Dataset of
+    ``(node, component)`` with ``component`` = the minimum node id in
+    the component.
     """
-    import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    edges = pairs.map_batches(
-        lambda b: pa.table(
+    nb = np.int64(num_buckets)
+
+    def make_edges(b: pa.Table) -> pa.Table:
+        # both directions; schema shared with the labels table so the
+        # per-round union is schema-stable: is_edge marks edge rows,
+        # lbl carries a min-inert sentinel on them
+        key = np.concatenate(
+            [
+                b[src].to_numpy(zero_copy_only=False),
+                b[dst].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        other = np.concatenate(
+            [
+                b[dst].to_numpy(zero_copy_only=False),
+                b[src].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        n = len(key)
+        return pa.table(
             {
-                "key": pa.concat_arrays(
-                    [b[src].combine_chunks(), b[dst].combine_chunks()]
+                "key": pa.array(key, type=pa.int64()),
+                "other": pa.array(other, type=pa.int64()),
+                "lbl": pa.array(
+                    np.full(n, _CC_SENTINEL, dtype=np.int64),
+                    type=pa.int64(),
                 ),
-                "other": pa.concat_arrays(
-                    [b[dst].combine_chunks(), b[src].combine_chunks()]
-                ),
+                "is_edge": pa.array(np.ones(n, dtype=bool)),
+                "bucket": pa.array(key % nb, type=pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
 
-    # initial labels: every endpoint labels itself
-    labels = coalesce(edges).groupby("key").aggregate(
-        Min("other", alias_name="_m")
-    ).map_batches(
-        lambda b: pa.table(
+    def _label_table(keys: np.ndarray, lbl: np.ndarray) -> pa.Table:
+        n = len(keys)
+        return pa.table(
             {
-                "key": b["key"],
-                "lbl": pc.min_element_wise(b["key"], b["_m"]),
+                "key": pa.array(keys, type=pa.int64()),
+                "other": pa.array(
+                    np.full(n, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "lbl": pa.array(lbl, type=pa.int64()),
+                "is_edge": pa.array(np.zeros(n, dtype=bool)),
+                "bucket": pa.array(keys % nb, type=pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
 
-    prev_sum = None
+    def init_labels(group: pa.Table) -> pa.Table:
+        # per node: label = min(node, min neighbor) — whole bucket at once
+        g = group.sort_by([("key", "ascending")])
+        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return _label_table(keys, keys)
+        other = g["other"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, kmin, _ = _cc_min_per_key(keys, other)
+        return _label_table(uk, np.minimum(uk, kmin))
+
+    def spread(group: pa.Table) -> pa.Table:
+        # bucket-wide: per-key min label (label rows win; edge rows are
+        # sentinel-inert), pushed to every neighbor and kept at the node
+        g = group.sort_by([("key", "ascending")])
+        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return _label_table(keys, keys)
+        lbl = g["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        other = g["other"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+        uk, kmin, rep = _cc_min_per_key(keys, lbl)
+        out_key = np.concatenate([other[is_edge], uk])
+        out_lbl = np.concatenate([rep[is_edge], kmin])
+        return _label_table(out_key, out_lbl)
+
+    def combine(group: pa.Table) -> pa.Table:
+        # min over incoming messages per node, bucket-wide
+        g = group.sort_by([("key", "ascending")])
+        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return _label_table(keys, keys)
+        lbl = g["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, kmin, _ = _cc_min_per_key(keys, lbl)
+        return _label_table(uk, kmin)
+
+    edges = pairs.map_batches(make_edges, batch_format="pyarrow").materialize()
+
+    labels = (
+        coalesce(edges)
+        .groupby("bucket")
+        .map_groups(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def label_sum(lb):
+        agg = lb.aggregate(Sum("lbl"))
+        return agg.get("sum(lbl)") if agg else None
+
+    def to_ptr_edges(b: pa.Table) -> pa.Table:
+        # label row (v, lbl) as a one-way query edge lbl -> v: spread
+        # then delivers lbl's OWN label to v, i.e. lbl[v] <- lbl[lbl[v]]
+        lbl = b["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(lbl, type=pa.int64()),
+                "other": pa.array(key, type=pa.int64()),
+                "lbl": pa.array(
+                    np.full(n, _CC_SENTINEL, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "is_edge": pa.array(np.ones(n, dtype=bool)),
+                "bucket": pa.array(lbl % nb, type=pa.int64()),
+            }
+        )
+
+    prev_sum, converged = None, False
     for _ in range(max_iters):
-        cur = labels.aggregate(Sum("lbl"))["sum(lbl)"]
-        if prev_sum is not None and cur == prev_sum:
+        cur = label_sum(labels)
+        if cur is None or (prev_sum is not None and cur == prev_sum):
+            converged = True
             break
         prev_sum = cur
 
-        def spread(group: pa.Table) -> pa.Table:
-            # one group per node: its label row(s) + its edge rows;
-            # broadcast the node's min label to every neighbor and
-            # back to the node itself
-            lbls = group["lbl"].drop_null()
-            m = pc.min(lbls).as_py()
-            others = group["other"].drop_null()
-            node = group["key"][0]
-            return pa.table(
-                {
-                    "key": pa.concat_arrays(
-                        [others.combine_chunks(),
-                         pa.array([node.as_py()], type=pa.int64())]
-                    ),
-                    "lbl": pa.array(
-                        [m] * (len(others) + 1), type=pa.int64()
-                    ),
-                }
-            )
+        # fused round: hash-min over the real edges AND a pointer jump
+        # over the label-pointer edges (lbl[v] <- lbl[lbl[v]], stale
+        # labels — still monotone, still doubles hop distance) in ONE
+        # spread+combine pass: one union, two bucket shuffles per round
+        ptr = labels.map_batches(to_ptr_edges, batch_format="pyarrow")
+        msgs = (
+            coalesce(edges.union(ptr).union(labels))
+            .groupby("bucket")
+            .map_groups(spread, batch_format="pyarrow")
+        )
+        labels = (
+            coalesce(msgs)
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
 
-        tagged_edges = edges.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": b["key"],
-                    "other": b["other"],
-                    "lbl": pa.nulls(b.num_rows, type=pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        tagged_labels = labels.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": b["key"],
-                    "other": pa.nulls(b.num_rows, type=pa.int64()),
-                    "lbl": b["lbl"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        msgs = coalesce(tagged_edges.union(tagged_labels)).groupby(
-            "key"
-        ).map_groups(spread, batch_format="pyarrow")
-        labels = coalesce(msgs).groupby("key").aggregate(
-            Min("lbl", alias_name="lbl")
-        ).materialize()
+    if not converged:
+        # certificate: labels are monotonically non-increasing, so an
+        # unchanged sum proves a fixed point; a moving sum means the
+        # component labels are WRONG, not merely unrefined — fail loud
+        final = label_sum(labels)
+        if final != prev_sum:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                f"label-propagation rounds (label sum still moving: "
+                f"{prev_sum} -> {final}); the duplicate graph has "
+                f"diameter > max_iters — raise max_iters"
+            )
 
     return labels.map_batches(
         lambda b: pa.table({"node": b["key"], "component": b["lbl"]}),

@@ -32,12 +32,20 @@ def hourly_window_agg(ds):
             }
         )
         # partial per-batch combine — Arrow-native hash aggregation (no
-        # pandas round-trip in the hot combiner)
+        # pandas round-trip in the hot combiner).  count_all keeps the
+        # COUNT(*) row semantics (plain "count" would skip null values),
+        # and columns are picked BY NAME — aggregate output order is a
+        # pyarrow implementation detail.
         g = t.group_by(["window_start", "event_type"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [([], "count_all"), ("value", "sum")]
         )
-        return g.rename_columns(
-            ["window_start", "event_type", "n_part", "sum_part"]
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n_part": g["count_all"],
+                "sum_part": g["value_sum"],
+            }
         )
 
     agg = (
@@ -94,10 +102,15 @@ def sliding_window_agg(ds, *, size_minutes: int = 60, step_minutes: int = 15):
             }
         )
         g = t.group_by(["window_start", "event_type"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [([], "count_all"), ("value", "sum")]
         )
-        return g.rename_columns(
-            ["window_start", "event_type", "n_part", "sum_part"]
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n_part": g["count_all"],
+                "sum_part": g["value_sum"],
+            }
         )
 
     return (
@@ -173,7 +186,7 @@ def top_users_by_value(ds, *, k: int = 20):
         g = batch.select(["user_id", "value"]).group_by("user_id").aggregate(
             [("value", "sum")]
         )
-        return g.rename_columns(["user_id", "part"])
+        return pa.table({"user_id": g["user_id"], "part": g["value_sum"]})
 
     agg = (
         coalesce(ds.map_batches(pre, batch_format="pyarrow"))

@@ -13,14 +13,18 @@ Routes:
 
 Implementation notes: stdlib ``http.server`` (no web framework in this
 environment); one ``Searcher`` (or ``ShardedSearcher``) is loaded once
-at startup and shared across requests — queries are read-only.  This is
-a demo/debug surface; batch workloads should use
-``pipelines.search.batch_search``.
+at startup and shared across requests.  ``Searcher.search`` mutates
+per-instance scratch state (the dense score accumulator ``_acc`` /
+``_touched`` and the decode caches), so concurrent handler threads must
+NOT interleave calls — a per-server ``threading.Lock`` serializes the
+search section (form/404 routes stay lock-free).  This is a demo/debug
+surface; batch workloads should use ``pipelines.search.batch_search``.
 """
 
 from __future__ import annotations
 
 import html
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -83,6 +87,7 @@ def _render_result_page(keyword_stems, phrase_stems, results) -> str:
 
 class _Handler(BaseHTTPRequestHandler):
     searcher: Searcher = None  # class-level, set by make_server
+    search_lock: threading.Lock = None  # serializes Searcher scratch state
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -103,7 +108,8 @@ class _Handler(BaseHTTPRequestHandler):
             q = parse_qs(u.query).get("search", [""])[0]
             words, phrase = parse_query(q)
             s = self.searcher
-            res = s.search(words, phrase, hydrate=True)
+            with self.search_lock:
+                res = s.search(words, phrase, hydrate=True)
             kw_stems = {
                 w for w in (s.stem_query_word(x) for x in words) if w
             }
@@ -118,7 +124,11 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(index_dir: str, port: int = 0) -> ThreadingHTTPServer:
     """Bind a server for the given index (port 0 = ephemeral); call
     ``.serve_forever()`` (or ``.handle_request()``) on the result."""
-    handler = type("Handler", (_Handler,), {"searcher": Searcher(index_dir)})
+    handler = type(
+        "Handler",
+        (_Handler,),
+        {"searcher": Searcher(index_dir), "search_lock": threading.Lock()},
+    )
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
 

@@ -148,6 +148,15 @@ class IvfIndex:
             import tempfile
 
             self.store_dir = tempfile.mkdtemp(prefix="ivf_store_")
+        else:
+            # a re-fit (or a dirty target dir) must not leave stale
+            # cluster partitions behind — _cluster_vectors would read
+            # them alongside the fresh assignment
+            import os
+            import shutil
+
+            if os.path.isdir(self.store_dir):
+                shutil.rmtree(self.store_dir)
         ds.map_batches(assign, batch_format="pyarrow").write_parquet(
             self.store_dir, partition_cols=["cluster"]
         )

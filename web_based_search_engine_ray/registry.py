@@ -532,17 +532,25 @@ def q_lineitem_agg(sf_dir: str):
                 "disc_price": disc,
             }
         )
+        # count_all = COUNT(*) row semantics; columns picked by NAME
+        # (aggregate output order is a pyarrow implementation detail)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [
                 ("l_quantity", "sum"),
                 ("l_extendedprice", "sum"),
                 ("disc_price", "sum"),
-                ("l_quantity", "count"),
+                ([], "count_all"),
             ]
         )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base",
-             "sum_disc", "n_rows"]
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_base": g["l_extendedprice_sum"],
+                "sum_disc": g["disc_price_sum"],
+                "n_rows": g["count_all"],
+            }
         )
 
     agg = (
@@ -586,7 +594,9 @@ def q_orders_join(sf_dir: str):
             }
         )
         g = t.group_by("c_mktsegment").aggregate([("part", "sum")])
-        return g.rename_columns(["c_mktsegment", "part"])
+        return pa.table(
+            {"c_mktsegment": g["c_mktsegment"], "part": g["part_sum"]}
+        )
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
