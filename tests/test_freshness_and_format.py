@@ -80,6 +80,28 @@ def test_filter_fresh(ray_session, tmp_path_factory, sf_dir):
     fresh = filter_fresh(updated, out).to_pandas()
     assert sorted(fresh["doc_id"]) == [0, 1, 2]
 
+    # the Bloom anti-join path must agree exactly with the broadcast
+    # dict, and must never fall back to the driver-side url dict
+    import web_based_search_engine_ray.pipelines.build_index as bi
+
+    def _no_exact(*a, **k):
+        raise AssertionError(
+            "bloom mode must not materialize the full url dict"
+        )
+
+    orig = bi._filter_fresh_exact
+    bi._filter_fresh_exact = _no_exact
+    try:
+        assert filter_fresh(
+            synth_corpus(sf_dir), out, mode="bloom"
+        ).count() == 0
+        fresh_b = filter_fresh(updated, out, mode="bloom").to_pandas()
+    finally:
+        bi._filter_fresh_exact = orig
+    assert sorted(fresh_b["doc_id"]) == [0, 1, 2]
+    # schema parity with the exact path (full corpus rows survive)
+    assert set(fresh_b.columns) == set(fresh.columns)
+
 
 def test_dump_index(ray_session, sf_dir):
     from web_based_search_engine_ray.config import ORACLE_CONFIG

@@ -108,3 +108,68 @@ def test_prune_actually_restricts(idx):
     top_pruned = max(pruned_map.items(), key=lambda kv: (kv[1], -kv[0]))
     assert top_full == top_pruned
     assert len(pruned_map) <= len(full_map)
+
+
+@pytest.mark.parametrize("k", [1, 5, 10])
+def test_bm25_prune_rank_identical(idx, k):
+    """BM25 MaxScore (ub = idf·(k1+1), no norm division) must return
+    the exact top-k of exhaustive bm25 scoring."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    for words in [
+        {"spark", "merge"},
+        {"window", "batch", "stream", "join"},
+        {"dup", "slow", "agg", "row", "key", "data"},
+    ]:
+        full = s.search(words, k=k, hydrate=False, mode="bm25")
+        pruned = s.search(words, k=k, hydrate=False, prune=True,
+                          mode="bm25")
+        assert full["doc_id"].tolist() == pruned["doc_id"].tolist(), (words, k)
+        np.testing.assert_allclose(
+            full["score"].to_numpy(np.float64),
+            pruned["score"].to_numpy(np.float64),
+            rtol=1e-12,
+        )
+
+
+def test_bm25_restricted_phase_skips_runs(ray_session, sf_dir,
+                                          tmp_path_factory):
+    """The bm25 pruned path must decode strictly fewer runs than
+    exhaustive bm25 on a multi-run index, rank-identically."""
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    d = str(tmp_path_factory.mktemp("runskip25") / "idx")
+    build_index(
+        lambda: synth_corpus(sf_dir), d,
+        IndexConfig(max_run_docs=64, tokenize_batch_size=64,
+                    shuffle_partitions=4, extract_concurrency=(1, 2),
+                    tokenize_concurrency=(1, 2)),
+        input_key="runskip25", resume=False,
+    )
+    words = {"42", "merge", "join", "batch", "stream", "window"}
+    decoded = {}
+    for prune in (False, True):
+        s = Searcher(d)
+        res = s.search(words, k=1, hydrate=False, prune=prune, mode="bm25")
+        decoded[prune] = s.run_stats["decoded"]
+        if prune:
+            assert res["doc_id"].tolist() == top_unpruned
+        else:
+            top_unpruned = res["doc_id"].tolist()
+    assert decoded[True] < decoded[False], decoded
+
+
+def test_lexicon_bucket_lazy_load(idx):
+    """Searcher must load only the queried terms' lexicon buckets —
+    actor RSS independent of total vocabulary."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    assert s._lex_bucketed and not s._lex_cache
+    s.search({"spark", "merge"}, k=5, hydrate=False)
+    touched = len(s._lex_cache)
+    assert 0 < touched <= 2  # at most one bucket per query term

@@ -92,10 +92,14 @@ def updated_and_rebuilt(ray_session, tmp_path_factory):
     full_dir = str(base / "full")
 
     build_index(_corpus_v1, inc_dir, cfg, input_key="v1", resume=False)
-    # snapshot mtimes of unaffected shard partitions
+    # snapshot mtimes of unaffected shard partitions (segments AND the
+    # doc-shard-partitioned extracted/ checkpoint)
     mtimes = {
-        s: os.path.getmtime(os.path.join(inc_dir, "segments", f"doc_shard={s}"))
+        (stage, s): os.path.getmtime(
+            os.path.join(inc_dir, stage, f"doc_shard={s}")
+        )
         for s in (1, 2, 3)
+        for stage in ("segments", "extracted")
     }
     report = update_index(_corpus_v2, inc_dir, cfg, input_key="v2")
     build_index(_corpus_v2, full_dir, cfg, input_key="v2-full", resume=False)
@@ -112,11 +116,11 @@ def test_update_report(updated_and_rebuilt):
 
 def test_unaffected_partitions_untouched(updated_and_rebuilt):
     inc_dir, _, _, mtimes = updated_and_rebuilt
-    for s, old in mtimes.items():
+    for (stage, s), old in mtimes.items():
         now = os.path.getmtime(
-            os.path.join(inc_dir, "segments", f"doc_shard={s}")
+            os.path.join(inc_dir, stage, f"doc_shard={s}")
         )
-        assert now == old, f"shard {s} was rewritten"
+        assert now == old, f"{stage} shard {s} was rewritten"
 
 
 def _tbl(d, name, cols=None):

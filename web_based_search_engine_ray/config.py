@@ -70,7 +70,7 @@ class IndexConfig:
             "compact_segments": self.compact_segments,
             "max_run_docs": self.max_run_docs,
             "doc_shards": self.doc_shards,
-            "format_version": 4,  # bump when artifact schemas change
+            "format_version": 5,  # bump when artifact schemas change
         }
         return hashlib.md5(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:12]
 

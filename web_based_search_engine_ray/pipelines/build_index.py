@@ -74,6 +74,20 @@ def _add_url_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
     return batch.append_column("url_bucket", pa.array(buckets, type=pa.int64()))
 
 
+def _add_doc_shard(batch: pa.Table, *, n_shards: int) -> pa.Table:
+    """Hive partition column for the doc-sharded layouts (extracted /
+    docstats): doc_shard = doc_id % n_shards, re-derivable anywhere."""
+    if "doc_shard" in batch.column_names:
+        batch = batch.drop_columns(["doc_shard"])
+    return batch.append_column(
+        "doc_shard",
+        pa.array(
+            batch["doc_id"].to_numpy(zero_copy_only=False) % n_shards,
+            type=pa.int32(),
+        ),
+    )
+
+
 def _lww_group(group: pa.Table) -> pa.Table:
     """Keep the newest row per url (last-write-wins by warc_ts) —
     batch-engine equivalent of the freshness upsert
@@ -137,7 +151,9 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
     import pyarrow.parquet as pq
 
     out = []
-    for paths in batch["paths"].to_pylist():
+    for bucket, paths in zip(
+        batch["bucket"].to_pylist(), batch["paths"].to_pylist()
+    ):
         t = pq.read_table(list(paths), columns=["term", "df_run", "ub_run"])
         g = t.group_by("term").aggregate(
             [("df_run", "sum"), ("ub_run", "max")]
@@ -148,6 +164,9 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
                     "term": g["term"],
                     "df": g["df_run_sum"],
                     "ub_adj": g["ub_run_max"],
+                    "bucket": pa.array(
+                        np.full(g.num_rows, bucket, dtype=np.int64)
+                    ),
                 }
             )
         )
@@ -173,25 +192,62 @@ def _explode_links(batch: pa.Table) -> pa.Table:
     )
 
 
-def filter_fresh(corpus, index_dir: str):
+#: docmeta row count above which ``filter_fresh(mode="auto")`` switches
+#: from the exact driver-dict semi-join to the Bloom anti-join path.
+FRESH_EXACT_THRESHOLD = 200_000
+
+
+def filter_fresh(corpus, index_dir: str, *, mode: str = "auto"):
     """Freshness anti-join (the batch form of ``Indexer.isFreshDocument``,
     ``Indexer.java:77-85``): keep only corpus rows whose url is unseen
     OR whose ``warc_ts`` is strictly newer than the indexed
-    ``last_modified``.  The stored (url → last_modified) map is
-    broadcast once via ``ray.put`` (semi-join without a shuffle); at
-    10^12 docs this becomes a Bloom-filter broadcast + shuffle
-    anti-join on the survivors.
+    ``last_modified``.
 
-    ``pipelines.update_index.update_index`` consumes this predicate to
-    upsert incrementally, rebuilding only the doc shards that contain
-    touched documents.
+    Two physical plans, same semantics:
+
+    - ``exact`` — broadcast the whole (url → last_modified) dict
+      (semi-join without a shuffle).  Right for small indexes; the
+      driver materializes every indexed url.
+    - ``bloom`` — web-scale path, no full-url set ever reaches the
+      driver: (1) a Bloom filter over the stored urls is built
+      distributedly and broadcast (``state.bloom``); (2) a SKINNY
+      (url, warc_ts) pass probes it — definite negatives are fresh by
+      construction; (3) probable hits go through a url-hash-bucket
+      shuffle against the stored (url, last_modified) rows
+      (vectorized ``pc.index_in`` per bucket) which emits the fresh
+      survivors' urls; (4) those urls — bounded by the CHANGED-doc
+      count, not the index size — are broadcast and the full corpus
+      filters on ``bloom-negative OR url ∈ fresh-probables``.  The
+      corpus plan executes twice ((2) and (4)); pass a column-pruned
+      parquet read so the skinny pass never loads ``html``.
+
+    ``mode="auto"`` picks by stored row count (``FRESH_EXACT_THRESHOLD``,
+    from parquet metadata only).  ``pipelines.update_index.update_index``
+    consumes this predicate to upsert incrementally, rebuilding only
+    the doc shards that contain touched documents.
     """
+    import pyarrow.dataset as pads
+
+    d_meta = os.path.join(index_dir, "docmeta")
+    if mode == "auto":
+        n_stored = pads.dataset(
+            d_meta, format="parquet", partitioning="hive"
+        ).count_rows()
+        mode = "exact" if n_stored <= FRESH_EXACT_THRESHOLD else "bloom"
+    if mode == "exact":
+        return _filter_fresh_exact(corpus, d_meta)
+    if mode == "bloom":
+        return _filter_fresh_bloom(corpus, d_meta)
+    raise ValueError(f"unknown freshness mode {mode!r}")
+
+
+def _filter_fresh_exact(corpus, d_meta: str):
     import pyarrow.dataset as pads
     import ray
 
-    meta = pads.dataset(
-        os.path.join(index_dir, "docmeta"), format="parquet"
-    ).to_table(columns=["url", "last_modified"])
+    meta = pads.dataset(d_meta, format="parquet").to_table(
+        columns=["url", "last_modified"]
+    )
     stored = dict(
         zip(
             meta["url"].to_pylist(),
@@ -214,6 +270,112 @@ def filter_fresh(corpus, index_dir: str):
         return batch.filter(pa.array(keep))
 
     return corpus.map_batches(fresh_only, batch_format="pyarrow")
+
+
+def _ts_us(col) -> np.ndarray:
+    return (
+        col.to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
+    )
+
+
+def _filter_fresh_bloom(corpus, d_meta: str, *, num_buckets: int = 64):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
+    from web_based_search_engine_ray.state.bloom import (
+        BloomFilter,
+        build_bloom_distributed,
+    )
+    from web_based_search_engine_ray.util import coalesce
+
+    n_stored = pads.dataset(
+        d_meta, format="parquet", partitioning="hive"
+    ).count_rows()
+    meta_ds = rd.read_parquet(d_meta, columns=["url", "last_modified"])
+    bloom = build_bloom_distributed(meta_ds, n_stored)
+    bloom_ref = ray.put((bloom.m_bits, bloom.k, bloom.bits))
+
+    def _bloom_hits(urls_col) -> np.ndarray:
+        m, k, bits = ray.get(bloom_ref)
+        return BloomFilter(m, k, bits).contains(fnv1a63_array(urls_col))
+
+    # skinny pass: probable-known (url, warc_ts) rows only
+    def probe(batch: pa.Table) -> pa.Table:
+        hit = _bloom_hits(batch["url"])
+        kept = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "url": kept["url"],
+                "ts": pa.array(_ts_us(kept["warc_ts"]), type=pa.int64()),
+                "stored": pa.array(np.zeros(kept.num_rows, dtype=bool)),
+                "fbucket": pa.array(
+                    fnv1a63_array(kept["url"]) % num_buckets, type=pa.int64()
+                ),
+            }
+        )
+
+    probable = corpus.select_columns(["url", "warc_ts"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+    def tag_stored(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "ts": pa.array(
+                    _ts_us(batch["last_modified"]), type=pa.int64()
+                ),
+                "stored": pa.array(np.ones(batch.num_rows, dtype=bool)),
+                "fbucket": pa.array(
+                    fnv1a63_array(batch["url"]) % num_buckets,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    stored_side = meta_ds.map_batches(tag_stored, batch_format="pyarrow")
+
+    def check(group: pa.Table) -> pa.Table:
+        is_stored = group["stored"].to_numpy(zero_copy_only=False)
+        stored_t = group.filter(pa.array(is_stored))
+        cand = group.filter(pa.array(~is_stored))
+        pos = pc.index_in(cand["url"], value_set=stored_t["url"])
+        posn = pos.to_numpy(zero_copy_only=False)
+        unseen = pc.is_null(pos).to_numpy(zero_copy_only=False)
+        s_ts = stored_t["ts"].to_numpy(zero_copy_only=False)
+        c_ts = cand["ts"].to_numpy(zero_copy_only=False)
+        newer = np.zeros(len(c_ts), dtype=bool)
+        seen = ~unseen
+        if seen.any():
+            newer[seen] = c_ts[seen] > s_ts[posn[seen].astype(np.int64)]
+        return pa.table({"url": cand.filter(pa.array(unseen | newer))["url"]})
+
+    fresh_df = (
+        coalesce(probable.union(stored_side))
+        .groupby("fbucket")
+        .map_groups(check, batch_format="pyarrow")
+        .to_pandas()
+    )
+    fresh_urls = (
+        fresh_df["url"].tolist() if "url" in fresh_df.columns else []
+    )
+    # bounded by the changed-doc count (worst case — every stored doc
+    # re-crawled with a newer ts — degenerates to the exact path's
+    # broadcast size)
+    fresh_ref = ray.put(pa.array(fresh_urls, type=pa.string()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        keep = ~_bloom_hits(batch["url"])  # definite-new
+        keep |= pc.is_in(
+            batch["url"], value_set=ray.get(fresh_ref)
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep))
+
+    return corpus.map_batches(final, batch_format="pyarrow")
 
 
 def build_index(
@@ -276,7 +438,26 @@ def build_index(
 
         def _build_extracted(stage_dir: str) -> int:
             ds = _extract_pipeline(corpus_fn())
-            ds.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+            if cfg.doc_shards > 1:
+                # partition by doc_shard so an incremental update can
+                # rewrite ONLY the shards containing touched docs
+                # (update_index swaps partition dirs; untouched shards
+                # stay byte-identical on disk)
+                ds = ds.map_batches(
+                    functools.partial(
+                        _add_doc_shard, n_shards=cfg.doc_shards
+                    ),
+                    batch_format="pyarrow",
+                )
+                ds.write_parquet(
+                    stage_dir,
+                    partition_cols=["doc_shard"],
+                    min_rows_per_file=cfg.min_rows_per_file,
+                )
+            else:
+                ds.write_parquet(
+                    stage_dir, min_rows_per_file=cfg.min_rows_per_file
+                )
             return _count_parquet(stage_dir)
 
         results.append(
@@ -455,7 +636,7 @@ def build_index(
                 )
             )
             if paths:
-                items.append({"paths": paths})
+                items.append({"bucket": b, "paths": paths})
         if not items:
             os.makedirs(stage_dir, exist_ok=True)
             _ensure_nonempty_schema(
@@ -464,10 +645,13 @@ def build_index(
                            ("ub_adj", pa.float64())]),
             )
             return 0
+        # written PARTITIONED BY BUCKET: shard Searchers lazy-load one
+        # term-hash bucket at a time (actor RSS independent of total
+        # vocabulary) with the same byte-budgeted cache as postings
         lex = rd.from_items(items).map_batches(
             _lexicon_bucket_task, batch_size=1, batch_format="pyarrow"
         )
-        lex.write_parquet(stage_dir)
+        lex.write_parquet(stage_dir, partition_cols=["bucket"])
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_lex, fp_lex, _build_lexicon, resume=resume))

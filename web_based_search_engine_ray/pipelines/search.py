@@ -99,20 +99,23 @@ class Searcher:
         self._touched: np.ndarray | None = None
         self._cache_bytes = 0
 
-        # Lexicon kept as SORTED Arrow arrays with binary-search lookup
-        # (no Python dict of the whole vocabulary: a web-scale vocab as
-        # a dict is tens of GB per actor; the Arrow buffers stay compact
-        # and could be memory-mapped / bucket-sharded at larger scale).
-        lex = pads.dataset(
-            os.path.join(index_dir, "lexicon"), format="parquet"
-        ).to_table().sort_by("term")
-        self._lex_terms = lex["term"].combine_chunks()
-        self._lex_df = lex["df"].to_numpy(zero_copy_only=False)
-        self._lex_ub = (
-            lex["ub_adj"].to_numpy(zero_copy_only=False)
-            if "ub_adj" in lex.column_names
-            else None
+        # Lexicon: LAZY per-term-hash-bucket load.  The build writes
+        # lexicon/bucket=N/ (same bucketing as segments), so a query
+        # term's entry is found by loading only its bucket — sorted
+        # Arrow arrays + binary search, admitted to a byte-budgeted
+        # cache.  Actor RSS is therefore independent of the total
+        # vocabulary (a web-scale vocab held eagerly is tens of GB per
+        # actor); a flat pre-bucketed layout loads as one bucket.
+        self._d_lex = os.path.join(index_dir, "lexicon")
+        self._lex_bucketed = any(
+            d.startswith("bucket=") for d in os.listdir(self._d_lex)
         )
+        lex_schema = pads.dataset(
+            self._d_lex, format="parquet"
+        ).schema
+        self._lex_has_ub = "ub_adj" in lex_schema.names
+        self._lex_cache: dict[int, tuple] = {}
+        self._lex_cache_bytes = 0
 
         # docstats: shard Searchers read ONLY their partition (the
         # build writes docstats/doc_shard=<s>/ when doc_shards > 1);
@@ -175,11 +178,53 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ utils
-    def _lex_index(self, term: str) -> int:
-        """Binary search over the sorted Arrow term column — O(log V)
-        ``.as_py()`` probes per lookup, no vocabulary-sized Python
-        structure."""
-        arr = self._lex_terms
+    #: byte budget for cached lexicon buckets (admission-controlled
+    #: like the posting decode caches)
+    LEX_CACHE_BYTES = 256 * 1024 * 1024
+
+    def _lex_bucket(self, b: int):
+        """(sorted term Arrow array, df np, ub np|None) of one lexicon
+        bucket — loaded on first touch, cached within the byte budget."""
+        hit = self._lex_cache.get(b)
+        if hit is not None:
+            return hit
+        path = (
+            os.path.join(self._d_lex, f"bucket={b}")
+            if self._lex_bucketed
+            else self._d_lex
+        )
+        if not os.path.isdir(path):
+            out = (pa.array([], pa.string()), np.empty(0, np.int64), None)
+        else:
+            cols = ["term", "df"] + (["ub_adj"] if self._lex_has_ub else [])
+            t = pads.dataset(path, format="parquet").to_table(
+                columns=cols
+            ).sort_by("term")
+            out = (
+                t["term"].combine_chunks(),
+                t["df"].to_numpy(zero_copy_only=False),
+                (
+                    t["ub_adj"].to_numpy(zero_copy_only=False)
+                    if self._lex_has_ub
+                    else None
+                ),
+            )
+        nbytes = out[1].nbytes * (2 if out[2] is not None else 1)
+        nbytes += out[0].nbytes if hasattr(out[0], "nbytes") else 0
+        if self._lex_cache_bytes + nbytes <= self.LEX_CACHE_BYTES:
+            self._lex_cache[b] = out
+            self._lex_cache_bytes += nbytes
+        return out
+
+    def _lex_entry(self, term: str) -> tuple[int, float] | None:
+        """(df, ub_adj) for a term, or None if absent — touches only
+        the term's hash bucket."""
+        b = (
+            stable_hash63(term) % self.cfg.num_buckets
+            if self._lex_bucketed
+            else 0
+        )
+        arr, dfs, ubs = self._lex_bucket(b)
         lo, hi = 0, len(arr)
         while lo < hi:
             mid = (lo + hi) // 2
@@ -188,18 +233,17 @@ class Searcher:
             else:
                 hi = mid
         if lo < len(arr) and arr[lo].as_py() == term:
-            return lo
-        return -1
+            ub = float(ubs[lo]) if ubs is not None else math.inf
+            return int(dfs[lo]), ub
+        return None
 
     def lex_df(self, term: str) -> int:
-        i = self._lex_index(term)
-        return int(self._lex_df[i]) if i >= 0 else 0
+        e = self._lex_entry(term)
+        return e[0] if e else 0
 
     def lex_ub(self, term: str) -> float:
-        if self._lex_ub is None:
-            return math.inf
-        i = self._lex_index(term)
-        return float(self._lex_ub[i]) if i >= 0 else math.inf
+        e = self._lex_entry(term)
+        return e[1] if e else math.inf
 
     def stem_query_word(self, word: str) -> str | None:
         return stem_word(
@@ -367,12 +411,15 @@ class Searcher:
         return dict(zip(ids.tolist(), vals.tolist()))
 
     def _partial_for_candidates(self, term: str, df: int,
-                                cand_ids: np.ndarray):
+                                cand_ids: np.ndarray, *,
+                                bm25: bool = False):
         """Restricted-phase decode: only runs whose [min_doc, max_doc]
         range contains at least one candidate are decoded (block-max
         run skipping; the parquet filter also pushes the range test
         down to row groups).  Returns (ids, partial) of the decoded
-        runs — exact contributions for every candidate doc."""
+        runs — exact contributions for every candidate doc, in the
+        requested scorer's arithmetic (``bm25=True`` mirrors
+        ``_term_partial_bm25``)."""
         if not len(cand_ids):
             return None
         flt = (pc.field("max_doc") >= int(cand_ids[0])) & (
@@ -410,10 +457,18 @@ class Searcher:
         btf = np.concatenate(btf_parts)
         order = np.argsort(ids, kind="stable")
         ids, ttf, btf = ids[order], ttf[order], btf[order]
+        pos2 = np.searchsorted(self._stat_ids, ids)
+        if bm25:
+            tf = (ttf + btf).astype(np.float64)
+            idf = math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            K = self.BM25_K1 * (
+                1.0 - self.BM25_B
+                + self.BM25_B * self._n_tokens[pos2] / self.avgdl
+            )
+            return ids, idf * tf * (self.BM25_K1 + 1.0) / (tf + K), pos2
         idf = math.log10(self.n_docs / df)
         a = self.cfg.title_weight
         adj = a * ttf + (1.0 - a) * btf
-        pos2 = np.searchsorted(self._stat_ids, ids)
         return ids, adj * idf / self._tf_max[pos2], pos2
 
     def scores_arrays(self, words, k: int | None = None,
@@ -437,14 +492,9 @@ class Searcher:
         # hash-salted per process; fp addition is order-sensitive)
         entries = []
         for t in sorted(terms):
-            ix = self._lex_index(t)
-            if ix >= 0 and self._lex_df[ix] > 0:
-                ub_adj = (
-                    float(self._lex_ub[ix])
-                    if self._lex_ub is not None
-                    else math.inf
-                )
-                entries.append((t, int(self._lex_df[ix]), ub_adj))
+            e = self._lex_entry(t)
+            if e is not None and e[0] > 0:
+                entries.append((t, e[0], e[1]))
         if not entries:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         bm25 = mode == "bm25"
@@ -453,19 +503,30 @@ class Searcher:
                 "bm25 scoring needs the n_tokens docstats column "
                 "(rebuild the index with format >= v4)"
             )
-        # MaxScore bounds are derived for the reference scorer; bm25
-        # runs exhaustive (its ub would be idf·(k1+1) — future work)
-        prune = bool(
-            prune and not bm25 and k and self._can_prune
-            and self._lex_ub is not None
+        # MaxScore is rank-safe in both modes; the reference scorer's
+        # bound needs the stored ub_adj AND well-formed norms, bm25's
+        # bound is closed-form (idf·(k1+1), the tf-saturation limit —
+        # every bm25 partial is positive, no norm division)
+        prune = bool(prune and k) and (
+            bm25 or (self._can_prune and self._lex_has_ub)
         )
 
         if prune:
-            # idf × max(adjTF/tfMax): the most this term adds to any doc
-            ub = {
-                t: math.log10(self.n_docs / df) * u
-                for t, df, u in entries
-            }
+            if bm25:
+                # idf·(k1+1): sup over tf of tf(k1+1)/(tf+K) is k1+1
+                ub = {
+                    t: math.log(
+                        (self.n_docs - df + 0.5) / (df + 0.5) + 1.0
+                    ) * (self.BM25_K1 + 1.0)
+                    for t, df, _u in entries
+                }
+            else:
+                # idf × max(adjTF/tfMax): the most this term adds to
+                # any doc
+                ub = {
+                    t: math.log10(self.n_docs / df) * u
+                    for t, df, u in entries
+                }
             entries.sort(key=lambda e: -ub[e[0]])
             remaining = np.cumsum(
                 [ub[t] for t, _, _ in entries][::-1]
@@ -488,18 +549,25 @@ class Searcher:
             for i, (term, df, _u) in enumerate(entries):
                 if prune and not restricted and n_cand >= k:
                     cand_pos = np.flatnonzero(touched)
-                    provisional = acc[cand_pos] / self._norm[cand_pos]
+                    if bm25:
+                        provisional = acc[cand_pos]
+                        unseen_best = remaining[i]
+                    else:
+                        provisional = acc[cand_pos] / self._norm[cand_pos]
+                        unseen_best = remaining[i] / self._min_norm
                     theta = np.partition(
                         provisional, len(provisional) - k
                     )[len(provisional) - k]
-                    if remaining[i] / self._min_norm < theta:
+                    if unseen_best < theta:
                         restricted = True
                 if restricted:
                     # cached full partials beat a fresh filtered read
-                    tp = self._partial_cache.get(term, False)
+                    tp = self._partial_cache.get(
+                        ("bm25", term) if bm25 else term, False
+                    )
                     if tp is False:
                         tp = self._partial_for_candidates(
-                            term, df, self._stat_ids[touched]
+                            term, df, self._stat_ids[touched], bm25=bm25
                         )
                     if tp is None:
                         continue

@@ -57,6 +57,64 @@ from web_based_search_engine_ray.stages.postings import compact_bucket
 from web_based_search_engine_ray.state import manifest as mf
 
 
+def _removed_docs(corpus, index_dir: str, cfg: IndexConfig):
+    """(doc_id, url) of indexed docs ABSENT from the snapshot — a
+    url-hash-bucket shuffle anti-join over two skinny url columns
+    (``pc.index_in`` per bucket), no driver-side url sets."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
+
+    def tag(batch: pa.Table, *, stored: bool) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": batch["url"],
+                "doc_id": (
+                    batch["doc_id"]
+                    if stored
+                    else pa.array(np.full(n, -1, dtype=np.int64))
+                ),
+                "stored": pa.array(np.full(n, stored)),
+                "fbucket": pa.array(
+                    fnv1a63_array(batch["url"]) % cfg.num_buckets,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    snap = corpus.select_columns(["url"]).map_batches(
+        functools.partial(tag, stored=False), batch_format="pyarrow"
+    )
+    stored_side = rd.read_parquet(
+        os.path.join(index_dir, "docmeta"), columns=["doc_id", "url"]
+    ).map_batches(functools.partial(tag, stored=True), batch_format="pyarrow")
+
+    def gone(group: pa.Table) -> pa.Table:
+        is_stored = group["stored"].to_numpy(zero_copy_only=False)
+        st = group.filter(pa.array(is_stored))
+        snap_urls = group.filter(pa.array(~is_stored))["url"]
+        missing = pc.is_null(pc.index_in(st["url"], value_set=snap_urls))
+        out = st.filter(missing)
+        return pa.table({"doc_id": out["doc_id"], "url": out["url"]})
+
+    from web_based_search_engine_ray.util import coalesce
+
+    df = (
+        coalesce(snap.union(stored_side))
+        .groupby("fbucket")
+        .map_groups(gone, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "url" not in df.columns:  # empty result loses the schema
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64),
+                           "url": []})
+    return df
+
+
 def update_index(
     corpus_fn,
     index_dir: str,
@@ -133,19 +191,14 @@ def update_index(
     removed_urls: set = set()
     removed_ids = np.empty(0, dtype=np.int64)
     if remove_missing:
-        # snapshot url set on the driver — at web scale replace with a
-        # Bloom-filter broadcast + shuffle anti-join on survivors
-        snap_urls = set(
-            corpus_fn().select_columns(["url"]).to_pandas()["url"]
-        )
-        stored_meta = pads.dataset(
-            os.path.join(index_dir, "docmeta"), format="parquet"
-        ).to_table(columns=["doc_id", "url"])
-        stored_urls = stored_meta["url"].to_pylist()
-        gone = pa.array([u not in snap_urls for u in stored_urls])
-        removed = stored_meta.filter(gone)
-        removed_urls = set(removed["url"].to_pylist())
-        removed_ids = removed["doc_id"].to_numpy(zero_copy_only=False)
+        # distributed anti-join: skinny (url) sides only, shuffled by
+        # url-hash bucket and matched vectorized per bucket — neither
+        # the snapshot's nor the index's full url set ever reaches the
+        # driver.  Only the RESULT (deleted urls + their doc_ids,
+        # bounded by the deletion count) is collected.
+        removed = _removed_docs(corpus_fn(), index_dir, cfg)
+        removed_urls = set(removed["url"])
+        removed_ids = removed["doc_id"].to_numpy()
 
     if n_fresh == 0 and not removed_urls:
         shutil.rmtree(d_delta, ignore_errors=True)
@@ -184,6 +237,8 @@ def update_index(
     )
 
     # ---- rewrite extracted/: old minus (updated ∪ removed), plus delta ---
+    # touched urls are bounded by the update size (fresh + removed), so
+    # the broadcast set is delta-sized, never index-sized
     urls_ref = ray.put(fresh_urls | removed_urls)
 
     def drop_updated(batch: pa.Table) -> pa.Table:
@@ -191,18 +246,72 @@ def update_index(
         keep = [u not in known for u in batch["url"].to_pylist()]
         return batch.filter(pa.array(keep))
 
-    survivors = rd.read_parquet(d_ext).map_batches(
-        drop_updated, batch_format="pyarrow"
+    from web_based_search_engine_ray.pipelines.build_index import (
+        _add_doc_shard,
     )
-    merged = (
-        survivors.union(rd.read_parquet(d_delta)) if n_fresh else survivors
+
+    ext_partitioned = any(
+        d.startswith("doc_shard=") for d in os.listdir(d_ext)
     )
     d_ext_new = os.path.join(index_dir, "_extracted_new")
     shutil.rmtree(d_ext_new, ignore_errors=True)
-    merged.write_parquet(d_ext_new, min_rows_per_file=cfg.min_rows_per_file)
-    n_ext = _count_parquet(d_ext_new)
-    shutil.rmtree(d_ext)
-    os.rename(d_ext_new, d_ext)
+    if ext_partitioned:
+        # partition-pruned rewrite: only the AFFECTED shards' extracted
+        # rows are read and rewritten; untouched partition dirs are not
+        # opened, so they stay byte-identical on disk
+        aff_dirs = [
+            p
+            for s in affected
+            if os.path.isdir(p := os.path.join(d_ext, f"doc_shard={s}"))
+        ]
+        parts = []
+        if aff_dirs:
+            parts.append(
+                rd.read_parquet(aff_dirs).map_batches(
+                    drop_updated, batch_format="pyarrow"
+                )
+            )
+        if n_fresh:
+            parts.append(rd.read_parquet(d_delta))
+        if parts:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.union(p)
+            merged = merged.map_batches(
+                functools.partial(_add_doc_shard, n_shards=n_shards),
+                batch_format="pyarrow",
+            )
+            merged.write_parquet(
+                d_ext_new,
+                partition_cols=["doc_shard"],
+                min_rows_per_file=cfg.min_rows_per_file,
+            )
+        for s in affected:
+            part = f"doc_shard={s}"
+            old_part = os.path.join(d_ext, part)
+            new_part = os.path.join(d_ext_new, part)
+            if os.path.isdir(old_part):
+                shutil.rmtree(old_part)
+            if os.path.isdir(new_part):
+                os.rename(new_part, old_part)
+        shutil.rmtree(d_ext_new, ignore_errors=True)
+    else:
+        # flat layout (doc_shards == 1 or a pre-partitioning index):
+        # full read+rewrite, as before
+        survivors = rd.read_parquet(d_ext).map_batches(
+            drop_updated, batch_format="pyarrow"
+        )
+        merged = (
+            survivors.union(rd.read_parquet(d_delta))
+            if n_fresh
+            else survivors
+        )
+        merged.write_parquet(
+            d_ext_new, min_rows_per_file=cfg.min_rows_per_file
+        )
+        shutil.rmtree(d_ext)
+        os.rename(d_ext_new, d_ext)
+    n_ext = _count_parquet(d_ext)
     shutil.rmtree(d_delta, ignore_errors=True)
 
     fp_ext = _fp("extracted", sem, input_key)
