@@ -42,3 +42,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return registry.oracle_sql()
+
+
+def self_verified() -> dict[str, str]:
+    """Assertion descriptions for the queries() entries that have no
+    SQL oracle — each callable raises if its in-process check fails, so
+    a returned result is a passed check (see SELFCHECK.json)."""
+    return registry.self_verified()

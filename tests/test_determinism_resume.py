@@ -121,3 +121,69 @@ def test_resume_after_partial_failure(ray_session, tmp_path_factory, sf_dir):
 
     res = Searcher(out).search({"spark"}, k=5, hydrate=False)
     assert len(res) == 5
+
+
+def test_partitioned_build_resume_per_shard(ray_session, tmp_path_factory,
+                                            sf_dir):
+    """cfg.partitioned_build: a crash mid-segments resumes at the
+    failed SHARD — completed shard partitions are skipped (byte-stable
+    on disk) and the final artifacts equal the monolithic build's."""
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    base = tmp_path_factory.mktemp("partres")
+    out = str(base / "idx")
+    mono = str(base / "mono")
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4, num_buckets=8, doc_shards=4,
+        partitioned_build=True,
+    )
+    build_index(lambda: synth_corpus(sf_dir), out, cfg,
+                input_key="partres", resume=False)
+
+    # simulate a crash while building shard 2 of segments and shard 1
+    # of forward: kill their dirs + part manifests; ALSO drop the
+    # stage-level manifests (a real crash dies before writing them)
+    for stage, s in (("segments", 2), ("forward", 1)):
+        shutil.rmtree(os.path.join(out, stage, f"doc_shard={s}"))
+        os.remove(os.path.join(out, "_part_manifests",
+                               f"{stage}.doc_shard={s}.json"))
+        os.remove(os.path.join(out, f"{stage}.manifest.json"))
+    # downstream stages of segments are stale too
+    shutil.rmtree(os.path.join(out, "docstats"))
+    os.remove(os.path.join(out, "docstats.manifest.json"))
+
+    mtimes = {
+        (stage, s): os.path.getmtime(
+            os.path.join(out, stage, f"doc_shard={s}")
+        )
+        for stage, dead in (("segments", 2), ("forward", 1))
+        for s in range(4)
+        if s != dead
+    }
+    report = build_index(lambda: synth_corpus(sf_dir), out, cfg,
+                         input_key="partres", resume=True)
+    stages = {s["name"]: s for s in report["stages"]}
+    assert stages["extracted"]["skipped"]
+    assert not stages["segments"]["skipped"]
+    assert not stages["forward"]["skipped"]
+    # only the killed shards were rebuilt
+    for (stage, s), old in mtimes.items():
+        now = os.path.getmtime(os.path.join(out, stage, f"doc_shard={s}"))
+        assert now == old, f"{stage} shard {s} was rebuilt"
+
+    # artifacts equal a monolithic (non-partitioned) build
+    cfg_mono = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4, num_buckets=8, doc_shards=4,
+    )
+    build_index(lambda: synth_corpus(sf_dir), mono, cfg_mono,
+                input_key="partres-mono", resume=False)
+    for art, key in (("lexicon", "term"), ("docstats", "doc_id")):
+        a = _table(os.path.join(out, art)).to_pandas().sort_values(
+            key).reset_index(drop=True)
+        b = _table(os.path.join(mono, art)).to_pandas().sort_values(
+            key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -78,9 +78,13 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    from web_based_search_engine_ray.registry import oracle_sql, queries
+    from web_based_search_engine_ray.registry import (
+        oracle_sql,
+        queries,
+        self_verified,
+    )
 
-    qs, sqls = queries(), oracle_sql()
+    qs, sqls, selfv = queries(), oracle_sql(), self_verified()
     names = args.names or list(qs)
 
     con = duckdb.connect()
@@ -89,22 +93,51 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    n_ok = n_fail = n_noracle = 0
+    n_ok = n_fail = n_selfv = 0
+    record = {}
     for name in names:
         if name not in qs:
             print(f"{name}: UNKNOWN")
             continue
-        eng = canon(qs[name](args.sf))
         if name not in sqls:
-            print(f"{name}: no_oracle ({len(eng)} rows)")
-            n_noracle += 1
+            # a self-verified query RAISES if its in-process assertion
+            # fails, so a returned result IS a passed check
+            try:
+                eng = canon(qs[name](args.sf))
+            except AssertionError as e:
+                print(f"{name}: SELF-CHECK FAIL: {e}")
+                record[name] = {"self_verified": False, "err": str(e)}
+                n_fail += 1
+                continue
+            desc = selfv.get(name, "no declared assertion")
+            print(f"{name}: SELF-VERIFIED ({len(eng)} rows) — {desc}")
+            record[name] = {
+                "self_verified": True,
+                "rows": int(len(eng)),
+                "assertion": desc,
+            }
+            n_selfv += 1
             continue
+        eng = canon(qs[name](args.sf))
         orc = canon(con.execute(sqls[name]).fetchdf())
         good = compare(name, eng, orc)
         print(f"{name}: {'OK' if good else 'FAIL'} ({len(eng)} rows)")
+        record[name] = {
+            "oracle_match": bool(good), "rows": int(len(eng)),
+        }
         n_ok += good
         n_fail += not good
-    print(f"\n{n_ok} ok, {n_fail} fail, {n_noracle} no_oracle")
+    print(f"\n{n_ok} ok, {n_fail} fail, {n_selfv} self-verified")
+    if not args.names:  # full runs refresh the committed record
+        import json
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "SELFCHECK.json"), "w") as f:
+            json.dump(
+                {"sf": args.sf, "results": record,
+                 "ok": n_ok, "fail": n_fail, "self_verified": n_selfv},
+                f, indent=1,
+            )
     return 1 if n_fail else 0
 
 

@@ -57,6 +57,14 @@ class IndexConfig:
     # ~data_size / target_block_size instead.
     shuffle_partitions: int | None = None
     min_rows_per_file: int = 65536
+    # Per-partition resume for the wide stages: build segments/forward
+    # one doc_shard at a time, each with its own lineage manifest, so a
+    # crash at hour 9 of a 10-hour stage resumes at the failed SHARD
+    # instead of repeating the stage.  Off by default: each shard pays
+    # a fixed Ray pipeline overhead (~0.5-2 s), which dominates at test
+    # scale but amortizes to noise when a shard takes minutes.  Same
+    # artifacts either way (physical execution knob, not semantic).
+    partitioned_build: bool = False
 
     def semantic_key(self) -> str:
         """Stable hash of the fields that affect index *content* (used to

@@ -141,20 +141,43 @@ def _forward_rows_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
     return inst(batch)
 
 
+_LEXICON_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("ub_adj", pa.float64()),
+        ("bucket", pa.int64()),
+    ]
+)
+
+
 def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
-    """One task per term-hash bucket: read the bucket's segment files
-    (across every doc shard) and aggregate ``df = Σ df_run`` /
+    """One task per term-hash bucket: DISCOVER the bucket's segment
+    files inside the task (no driver-side filesystem assumption — the
+    segment store only has to be reachable from workers, the normal
+    shared-storage contract of ``write_parquet``), read them across
+    every doc shard, and aggregate ``df = Σ df_run`` /
     ``ub_adj = max(ub_run)`` — both EXACT, since all runs of a term
     live in exactly one bucket and merged runs carry the max of their
     sources' bounds.  Reading inside the task guarantees the whole
     bucket aggregates at once (block splits can't duplicate terms)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    out = []
-    for bucket, paths in zip(
-        batch["bucket"].to_pylist(), batch["paths"].to_pylist()
+    out = [_LEXICON_SCHEMA.empty_table()]
+    for bucket, seg_dir in zip(
+        batch["bucket"].to_pylist(), batch["seg_dir"].to_pylist()
     ):
-        t = pq.read_table(list(paths), columns=["term", "df_run", "ub_run"])
+        paths = sorted(
+            _glob.glob(
+                os.path.join(seg_dir, "**", f"bucket={bucket}", "*.parquet"),
+                recursive=True,
+            )
+        )
+        if not paths:
+            continue
+        t = pq.read_table(paths, columns=["term", "df_run", "ub_run"])
         g = t.group_by("term").aggregate(
             [("df_run", "sum"), ("ub_run", "max")]
         )
@@ -163,7 +186,7 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
                 {
                     "term": g["term"],
                     "df": g["df_run_sum"],
-                    "ub_adj": g["ub_run_max"],
+                    "ub_adj": pc_cast_f64(g["ub_run_max"]),
                     "bucket": pa.array(
                         np.full(g.num_rows, bucket, dtype=np.int64)
                     ),
@@ -171,6 +194,12 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
             )
         )
     return pa.concat_tables(out)
+
+
+def pc_cast_f64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.float64())
 
 
 def _explode_links(batch: pa.Table) -> pa.Table:
@@ -551,6 +580,85 @@ def build_index(
     fp_seg = _fp("segments", fp_ext)
     d_seg = os.path.join(out_dir, "segments")
 
+    # Per-partition resume (cfg.partitioned_build): segments/forward
+    # run one doc_shard at a time, each sub-stage with its own lineage
+    # manifest (kept OUTSIDE the stage dir so hive discovery never sees
+    # it), so a crash mid-stage resumes at the failed shard.  Requires
+    # the doc_shard-partitioned extracted/ layout.
+    use_parts = (
+        cfg.partitioned_build
+        and cfg.doc_shards > 1
+        and corpus_parts_fn is None
+        and cfg.compact_segments
+    )
+
+    def _part_manifest(stage: str, s: int) -> str:
+        d = os.path.join(out_dir, "_part_manifests")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{stage}.doc_shard={s}.json")
+
+    def _run_sharded_stage(name: str, stage_dir: str, stage_fp: str,
+                           part_fn) -> mf.StageResult:
+        """Run ``part_fn(part_dir, shard)`` per doc shard with per-part
+        manifests; skip parts (or the whole stage) already complete."""
+        t0 = time.perf_counter()
+        if resume and mf.is_complete(stage_dir, stage_fp):
+            m = mf.load_manifest(stage_dir)
+            return mf.StageResult(
+                name, stage_dir, m.get("rows", -1), 0.0, True, m
+            )
+        os.makedirs(stage_dir, exist_ok=True)
+        rebuilt = 0
+        for s in range(cfg.doc_shards):
+            p_dir = os.path.join(stage_dir, f"doc_shard={s}")
+            p_fp = _fp(f"{name}-part", fp_ext, sem, str(s))
+            r = mf.run_stage(
+                p_dir, p_fp,
+                functools.partial(part_fn, shard=s),
+                resume=resume,
+                manifest_path=_part_manifest(name, s),
+            )
+            rebuilt += 0 if r.skipped else 1
+        total = _count_parquet(stage_dir)
+        mf.write_manifest(
+            stage_dir, stage_fp, total,
+            wall_sec=time.perf_counter() - t0,
+            extra={"partitioned_build": True, "parts_rebuilt": rebuilt},
+        )
+        return mf.StageResult(
+            name, stage_dir, total, time.perf_counter() - t0, False,
+            {"parts_rebuilt": rebuilt},
+        )
+
+    def _build_segments_part(stage_dir: str, *, shard: int) -> int:
+        src = os.path.join(d_ext, f"doc_shard={shard}")
+        if not os.path.isdir(src):
+            return 0
+        ds = rd.read_parquet(
+            src, columns=["doc_id", "title", "text"],
+            override_num_blocks=_shuffle_parts(cfg),
+        )
+        runs = ds.map_batches(
+            functools.partial(_tokenize_encode_task, cfg=cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+        )
+        runs = runs.groupby("part_key").map_groups(
+            functools.partial(
+                compact_bucket,
+                max_run_docs=cfg.max_run_docs,
+                num_buckets=cfg.num_buckets,
+            ),
+            batch_format="pyarrow",
+        )
+        # doc_shard is implied by the partition dir; dropping it keeps
+        # the file schema identical to the monolithic build's
+        runs = runs.map_batches(
+            lambda b: b.drop_columns(["doc_shard"]), batch_format="pyarrow"
+        )
+        runs.write_parquet(stage_dir, partition_cols=["bucket"])
+        return _count_parquet(stage_dir)
+
     def _build_segments(stage_dir: str) -> int:
         from web_based_search_engine_ray.sources.webcorpus import (
             default_parallelism,
@@ -589,7 +697,15 @@ def build_index(
         runs.write_parquet(stage_dir, partition_cols=partition_cols)
         return _count_parquet(stage_dir)
 
-    results.append(mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume))
+    if use_parts:
+        results.append(
+            _run_sharded_stage("segments", d_seg, fp_seg,
+                               _build_segments_part)
+        )
+    else:
+        results.append(
+            mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume)
+        )
 
     # ---- stage: forward (doc-local second tokenize pass — NO shuffle) ------
     fp_fwd = _fp("forward", fp_ext, sem)
@@ -612,7 +728,30 @@ def build_index(
         fwd.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
         return _count_parquet(stage_dir)
 
-    results.append(mf.run_stage(d_fwd, fp_fwd, _build_forward, resume=resume))
+    def _build_forward_part(stage_dir: str, *, shard: int) -> int:
+        src = os.path.join(d_ext, f"doc_shard={shard}")
+        if not os.path.isdir(src):
+            return 0
+        ds = rd.read_parquet(
+            src, columns=["doc_id", "title", "text"],
+            override_num_blocks=_shuffle_parts(cfg),
+        )
+        fwd = ds.map_batches(
+            functools.partial(_forward_rows_task, cfg=cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+        )
+        fwd.write_parquet(stage_dir, min_rows_per_file=cfg.min_rows_per_file)
+        return _count_parquet(stage_dir)
+
+    if use_parts:
+        results.append(
+            _run_sharded_stage("forward", d_fwd, fp_fwd, _build_forward_part)
+        )
+    else:
+        results.append(
+            mf.run_stage(d_fwd, fp_fwd, _build_forward, resume=resume)
+        )
     n_docs = results[-1].rows  # N = docs with >=1 term (InvertedIndex.java:72)
 
     # ---- stage: lexicon (df + per-term score upper bound) ------------------
@@ -622,29 +761,14 @@ def build_index(
     def _build_lexicon(stage_dir: str) -> int:
         # ZERO-shuffle derivation: every run of a term lives in exactly
         # one bucket=N partition (across all doc shards), so each
-        # bucket aggregates independently — one task per bucket reads
-        # its own files and aggregates the whole bucket at once.  (At
-        # 100-TB scale raise num_buckets so one bucket fits a task.)
-        import glob as _glob
-
-        items = []
-        for b in range(cfg.num_buckets):
-            paths = sorted(
-                _glob.glob(
-                    os.path.join(d_seg, "**", f"bucket={b}", "*.parquet"),
-                    recursive=True,
-                )
-            )
-            if paths:
-                items.append({"bucket": b, "paths": paths})
-        if not items:
-            os.makedirs(stage_dir, exist_ok=True)
-            _ensure_nonempty_schema(
-                stage_dir,
-                pa.schema([("term", pa.string()), ("df", pa.int64()),
-                           ("ub_adj", pa.float64())]),
-            )
-            return 0
+        # bucket aggregates independently — one task per bucket
+        # discovers and reads its own files (inside the task: no
+        # driver-side filesystem assumption) and aggregates the whole
+        # bucket at once.  (At 100-TB scale raise num_buckets so one
+        # bucket fits a task.)
+        items = [
+            {"bucket": b, "seg_dir": d_seg} for b in range(cfg.num_buckets)
+        ]
         # written PARTITIONED BY BUCKET: shard Searchers lazy-load one
         # term-hash bucket at a time (actor RSS independent of total
         # vocabulary) with the same byte-budgeted cache as postings
@@ -652,6 +776,12 @@ def build_index(
             _lexicon_bucket_task, batch_size=1, batch_format="pyarrow"
         )
         lex.write_parquet(stage_dir, partition_cols=["bucket"])
+        os.makedirs(stage_dir, exist_ok=True)
+        _ensure_nonempty_schema(
+            stage_dir,
+            pa.schema([("term", pa.string()), ("df", pa.int64()),
+                       ("ub_adj", pa.float64())]),
+        )
         return _count_parquet(stage_dir)
 
     results.append(mf.run_stage(d_lex, fp_lex, _build_lexicon, resume=resume))

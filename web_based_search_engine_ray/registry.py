@@ -656,6 +656,30 @@ def queries():
     }
 
 
+def self_verified() -> dict[str, str]:
+    """The queries without a SQL oracle, each with the in-process
+    assertion that gates its result: the CALLABLE ITSELF RAISES when
+    the check fails, so a returned result is a passed check.  Recorded
+    by ``tools/check_correctness.py`` into ``SELFCHECK.json`` so the
+    per-round correctness signal covers all 30 queries."""
+    return {
+        "search_stemmed": (
+            "doc-set equality + max |score diff| <= 1e-12 vs the "
+            "in-package literal oracle (record-at-a-time reference "
+            "reimplementation) over the full result set"
+        ),
+        "stemmed_conformance": (
+            "8-query battery (keyword/phrase/stopword) asserted "
+            "doc-for-doc and <=1e-12 score-for-score vs the literal "
+            "oracle; returned rows carry the verified counts"
+        ),
+        "ivf_ann": (
+            "recall@10 vs exact brute-force top-k asserted >= 0.3 "
+            "(approximate by design; the gate catches breakage)"
+        ),
+    }
+
+
 _MERSENNE61 = (1 << 61) - 1
 
 

@@ -35,8 +35,8 @@ def _manifest_path(stage_dir: str) -> str:
     return stage_dir.rstrip("/") + ".manifest.json"
 
 
-def load_manifest(stage_dir: str) -> dict | None:
-    p = _manifest_path(stage_dir)
+def load_manifest(stage_dir: str, *, manifest_path: str | None = None) -> dict | None:
+    p = manifest_path or _manifest_path(stage_dir)
     if not os.path.exists(p):
         return None
     try:
@@ -46,10 +46,11 @@ def load_manifest(stage_dir: str) -> dict | None:
         return None
 
 
-def is_complete(stage_dir: str, fingerprint: str) -> bool:
+def is_complete(stage_dir: str, fingerprint: str, *,
+                manifest_path: str | None = None) -> bool:
     if not os.path.isdir(stage_dir):
         return False
-    m = load_manifest(stage_dir)
+    m = load_manifest(stage_dir, manifest_path=manifest_path)
     return m is not None and m.get("fingerprint") == fingerprint
 
 
@@ -76,18 +77,20 @@ def run_stage(
     *,
     resume: bool = True,
     extra_metrics: dict | None = None,
+    manifest_path: str | None = None,
 ) -> StageResult:
     """Run ``build_fn(stage_dir)`` (which must write parquet into
     ``stage_dir`` and return a row count) unless a matching manifest
     already marks the stage complete."""
     name = os.path.basename(stage_dir.rstrip("/"))
-    if resume and is_complete(stage_dir, fingerprint):
-        m = load_manifest(stage_dir)
+    mp = manifest_path or _manifest_path(stage_dir)
+    if resume and is_complete(stage_dir, fingerprint, manifest_path=mp):
+        m = load_manifest(stage_dir, manifest_path=mp)
         return StageResult(name, stage_dir, m.get("rows", -1), 0.0, True, m)
     if os.path.exists(stage_dir):
         shutil.rmtree(stage_dir)
-    if os.path.exists(_manifest_path(stage_dir)):
-        os.remove(_manifest_path(stage_dir))
+    if os.path.exists(mp):
+        os.remove(mp)
     os.makedirs(stage_dir, exist_ok=True)
     t0 = time.perf_counter()
     rows = build_fn(stage_dir)
@@ -102,7 +105,7 @@ def run_stage(
     }
     if extra_metrics:
         manifest.update(extra_metrics)
-    with open(_manifest_path(stage_dir), "w") as f:
+    with open(mp, "w") as f:
         json.dump(manifest, f, indent=1)
     return StageResult(name, stage_dir, int(rows), wall, False, manifest)
 
