@@ -219,3 +219,42 @@ def test_media_strict_mode_raises():
     batch = pa.table({"p": pa.array([b"bytes"], type=pa.binary())})
     with pytest.raises(NotImplementedError):
         ex(batch)
+
+
+def test_media_custom_decoder_injection():
+    """A user codec drops in via register_decoder without editing the
+    stage: the stage builds output columns from the decoder's declared
+    schema."""
+    from web_based_search_engine_ray.pipelines import multimodal
+
+    class ByteLenDecoder:
+        schema = [("n_bytes", pa.int64()), ("first", pa.int32())]
+
+        def decode_batch(self, payloads):
+            return {
+                "n_bytes": pa.array([len(p) for p in payloads]),
+                "first": pa.array(
+                    [p[0] if p else -1 for p in payloads], type=pa.int32()
+                ),
+            }
+
+    multimodal.register_decoder("bytelen", ByteLenDecoder)
+    try:
+        ex = multimodal.MediaFeatureExtractor(
+            payload_col="p", decoder="bytelen"
+        )
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "p": pa.array([b"abc", b""], type=pa.binary()),
+            }
+        )
+        out = ex(batch)
+        assert out.column_names == ["doc_id", "n_bytes", "first"]
+        assert out["n_bytes"].to_pylist() == [3, 0]
+        assert out["first"].to_pylist() == [ord("a"), -1]
+    finally:
+        del multimodal._DECODERS["bytelen"]
+
+    with pytest.raises(ValueError, match="unknown media decoder"):
+        multimodal.MediaFeatureExtractor(payload_col="p", decoder="nope")
