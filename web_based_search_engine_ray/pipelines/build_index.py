@@ -66,11 +66,11 @@ def _fp(*parts: str) -> str:
 
 
 def _add_url_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
-    from web_based_search_engine_ray.functions.hashing import (
-        stable_hash63_array,
-    )
+    # vectorized FNV over the Arrow buffer — the bucket is a transient
+    # shuffle key, so it does not need the persisted md5 hash family
+    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
 
-    buckets = stable_hash63_array(batch["url"].to_pylist()) % num_buckets
+    buckets = fnv1a63_array(batch["url"]) % num_buckets
     return batch.append_column("url_bucket", pa.array(buckets, type=pa.int64()))
 
 
@@ -92,12 +92,52 @@ def _lww_group(group: pa.Table) -> pa.Table:
     """Keep the newest row per url (last-write-wins by warc_ts) —
     batch-engine equivalent of the freshness upsert
     (``Indexer.java:77-85``, ``PostingIndex.java:41-42``).  Vectorized
-    over a whole url-hash bucket."""
+    over a whole url-hash bucket.  (Pre-extract variant, used by the
+    update path; the main build dedups POST-extract, see
+    ``_lww_group_extracted``.)"""
     group = group.sort_by([("url", "ascending"), ("warc_ts", "descending")])
     urls = np.asarray(group["url"])
     _, first_idx = np.unique(urls, return_index=True)
     keep = group.take(pa.array(np.sort(first_idx)))
     return keep.drop_columns(["url_bucket"])
+
+
+def _add_lww_key(batch: pa.Table, *, n_shards: int, inner: int) -> pa.Table:
+    """Post-extract LWW shuffle key ``doc_shard·inner + hash(url)%inner``
+    — same url ⇒ same group (LWW-correct) AND every group holds exactly
+    one doc_shard, so the partitioned extracted/ write emits ~one file
+    per group instead of blocks × shards.
+
+    Relies on doc_id being a pure function of url: extract derives
+    ``doc_id = stable_hash63(url)`` when the corpus has no id column; a
+    corpus-SUPPLIED doc_id must be url-stable across re-crawls (drop
+    the column otherwise and let extract derive it)."""
+    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    shard = (ids % n_shards).astype(np.int64)
+    ub = fnv1a63_array(batch["url"]) % inner
+    batch = batch.append_column(
+        "doc_shard", pa.array(shard.astype(np.int32), type=pa.int32())
+    )
+    return batch.append_column(
+        "lww_key", pa.array(shard * inner + ub, type=pa.int64())
+    )
+
+
+def _lww_group_extracted(group: pa.Table) -> pa.Table:
+    """LWW over EXTRACTED rows (newest per url by ``last_modified`` =
+    ``warc_ts``): the shuffle moves title/text/links instead of raw
+    html — on real web pages an order of magnitude less data — and the
+    occasional stale duplicate is extracted redundantly instead of
+    shipping every page's html through the object store."""
+    group = group.sort_by(
+        [("url", "ascending"), ("last_modified", "descending")]
+    )
+    urls = np.asarray(group["url"])
+    _, first_idx = np.unique(urls, return_index=True)
+    keep = group.take(pa.array(np.sort(first_idx)))
+    return keep.drop_columns(["lww_key"])
 
 
 def _shuffle_parts(cfg: IndexConfig) -> int:
@@ -445,22 +485,28 @@ def build_index(
     d_ext = os.path.join(out_dir, "extracted")
 
     def _extract_pipeline(ds):
-        if cfg.dedup_urls:
-            # no repartition pass before the groupby: corpus readers
-            # already emit ~2 blocks/CPU (a repartition here costs one
-            # extra all-to-all move of the full html payload)
-            ds = ds.map_batches(
-                functools.partial(_add_url_bucket, num_buckets=cfg.num_buckets),
-                batch_format="pyarrow",
-            )
-            ds = ds.groupby("url_bucket").map_groups(
-                _lww_group, batch_format="pyarrow"
-            )
-        return ds.map_batches(
+        # extract FIRST (html never crosses a shuffle), then LWW-dedup
+        # the extracted rows: the url-bucket groupby moves only
+        # title/text/links.  The group key folds in doc_shard so the
+        # partitioned write below emits ~one file per group.
+        ds = ds.map_batches(
             functools.partial(_extract_task, verify=cfg.verify_extraction),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
+        if cfg.dedup_urls:
+            n_shards = max(1, cfg.doc_shards)
+            inner = max(1, -(-_shuffle_parts(cfg) // n_shards))
+            ds = ds.map_batches(
+                functools.partial(
+                    _add_lww_key, n_shards=n_shards, inner=inner
+                ),
+                batch_format="pyarrow",
+            )
+            ds = ds.groupby("lww_key").map_groups(
+                _lww_group_extracted, batch_format="pyarrow"
+            )
+        return ds
 
     d_ext_parts = os.path.join(out_dir, "extracted_parts")
     if corpus_parts_fn is None:
@@ -471,19 +517,28 @@ def build_index(
                 # partition by doc_shard so an incremental update can
                 # rewrite ONLY the shards containing touched docs
                 # (update_index swaps partition dirs; untouched shards
-                # stay byte-identical on disk)
-                ds = ds.map_batches(
-                    functools.partial(
-                        _add_doc_shard, n_shards=cfg.doc_shards
-                    ),
-                    batch_format="pyarrow",
-                )
+                # stay byte-identical on disk).  The LWW path already
+                # carries doc_shard (and groups are single-shard, so
+                # the write fans to ~one file per group); the
+                # no-dedup path derives it here.
+                if not cfg.dedup_urls:
+                    ds = ds.map_batches(
+                        functools.partial(
+                            _add_doc_shard, n_shards=cfg.doc_shards
+                        ),
+                        batch_format="pyarrow",
+                    )
                 ds.write_parquet(
                     stage_dir,
                     partition_cols=["doc_shard"],
                     min_rows_per_file=cfg.min_rows_per_file,
                 )
             else:
+                if cfg.dedup_urls:
+                    ds = ds.map_batches(
+                        lambda b: b.drop_columns(["doc_shard"]),
+                        batch_format="pyarrow",
+                    )
                 ds.write_parquet(
                     stage_dir, min_rows_per_file=cfg.min_rows_per_file
                 )
@@ -510,6 +565,11 @@ def build_index(
 
             def _build_part(stage_dir: str, _fn=part_fn) -> int:
                 ds = _extract_pipeline(_fn())
+                if cfg.dedup_urls:  # shard col is for the hive layout only
+                    ds = ds.map_batches(
+                        lambda b: b.drop_columns(["doc_shard"]),
+                        batch_format="pyarrow",
+                    )
                 ds.write_parquet(
                     stage_dir, min_rows_per_file=cfg.min_rows_per_file
                 )
