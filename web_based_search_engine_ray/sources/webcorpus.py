@@ -132,3 +132,55 @@ def synth_corpus(sf_dir: str, *, repeat: int = 1, parallelism: int | None = None
     else:
         ds = ds.map_batches(synth_batch, batch_format="pyarrow")
     return ds
+
+
+def synth_corpus_cached(
+    sf_dir: str,
+    *,
+    repeat: int = 1,
+    parallelism: int | None = None,
+    cache_root: str = "/tmp/graft_corpus_cache",
+):
+    """``synth_corpus`` materialized to parquet once, then READ like a
+    real crawl dump.
+
+    The in-flight ``repeat`` expansion is pathological as a *pipeline
+    input*: downstream map operators bundle input blocks by
+    PRE-expansion row count (e.g. ``extract_batch_size`` input rows per
+    task), so a 5000-row file expanded 360× in-task caps the extract
+    stage at ~``5000/batch_size`` tasks no matter how many CPUs the
+    cluster has.  A real 100-TB crawl arrives already expanded on disk;
+    benchmarking the build against an on-disk corpus is both more
+    honest and correctly parallel.  The materialization itself is
+    one-time (fingerprint-guarded) and shared by every parallelism
+    level, matching the scaling criterion's "same input" requirement.
+    """
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    if repeat <= 1:
+        return synth_corpus(sf_dir, parallelism=parallelism)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{repeat}|v1".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(cache_root, key)
+    marker = d + ".done.json"
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = synth_corpus(sf_dir, repeat=repeat, parallelism=parallelism)
+        # ~32k rows/file → tens of MB per file: big enough that map
+        # stages get one task per block, small enough to split finer
+        ds.write_parquet(tmp, min_rows_per_file=32768)
+        os.makedirs(cache_root, exist_ok=True)
+        os.rename(tmp, d)
+        with open(marker, "w") as f:
+            json.dump({"sf_dir": sf_dir, "repeat": repeat}, f)
+    return rd.read_parquet(
+        d, override_num_blocks=parallelism or default_parallelism()
+    )

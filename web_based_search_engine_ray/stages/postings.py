@@ -530,13 +530,13 @@ def _list_column_parts(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
 _DF_HASH_MEMO: dict[str, int] = {}
 
 
-def lexicon_hash_arrays(terms: list[str], dfs) -> tuple:
-    """Driver-side build of the broadcastable df lookup: sorted uint64
-    md5-prefix hashes + aligned df values.  Raises on a hash collision
-    (probability ~V²/2^65; the caller then falls back to a dict)."""
+def md5_hash64(terms) -> np.ndarray:
+    """uint64 md5-prefix hash per term (the docstats df-lookup key).
+    Run inside the lexicon bucket tasks so the hashing parallelizes
+    with the build instead of serializing on the driver."""
     import hashlib
 
-    hv = np.fromiter(
+    return np.fromiter(
         (
             int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
             for t in terms
@@ -544,11 +544,27 @@ def lexicon_hash_arrays(terms: list[str], dfs) -> tuple:
         dtype=np.uint64,
         count=len(terms),
     )
+
+
+def sorted_hash_lookup(hv: np.ndarray, dfs) -> tuple:
+    """Sort pre-computed term hashes + align df values into the
+    broadcastable ``(sorted_hashes, dfs)`` lookup.  Raises on a hash
+    collision (probability ~V²/2^65; the caller then falls back to a
+    dict).  Pure numpy on numeric arrays — O(V log V) driver cost with
+    no Python-object materialization."""
     order = np.argsort(hv, kind="stable")
     hv = hv[order]
     if len(hv) > 1 and (hv[1:] == hv[:-1]).any():
         raise ValueError("term hash collision")
     return hv, np.asarray(dfs, dtype=np.float64)[order]
+
+
+def lexicon_hash_arrays(terms: list[str], dfs) -> tuple:
+    """Driver-side build of the broadcastable df lookup from raw term
+    strings — fallback for indexes whose lexicon predates the
+    ``term_hash`` column (the normal path hashes in the bucket tasks
+    and calls :func:`sorted_hash_lookup` on numerics only)."""
+    return sorted_hash_lookup(md5_hash64(terms), dfs)
 
 
 def doc_stats_batch(batch: pa.Table, *, n_docs: int, df_ref) -> pa.Table:
