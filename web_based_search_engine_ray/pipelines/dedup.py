@@ -137,16 +137,19 @@ def exact_dedup(ds, *, num_buckets: int = 64):
     + per-group first (vectorized per bucket)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 1
-            for t in batch["text"].to_pylist()
-        ]
-        h = pa.array(hs, type=pa.int64())
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 1
+                for t in batch["text"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "text_hash": h,
-                "bucket": pa.array([x % num_buckets for x in hs], type=pa.int64()),
+                "text_hash": pa.array(hs, type=pa.int64()),
+                "bucket": pa.array(hs % num_buckets, type=pa.int64()),
             }
         )
 

@@ -545,9 +545,28 @@ class Searcher:
         acc, touched = self._acc, self._touched
         n_cand = 0
         restricted = False
+        if prune:
+            # Cost-based check gating: restricting term i..end can only
+            # SAVE work for terms whose partials are not already cached
+            # (the restricted branch itself prefers a cached full
+            # partial, and masking a cached partial costs MORE than the
+            # plain dense add).  The bound check is O(shard) — gather +
+            # divide + partition over every candidate — so on a warm
+            # cache it is pure overhead (measured 2x per-query cost on
+            # a dense-df query mix).  uncached_suffix[i] == "some term
+            # >= i still needs a decode", the only case the check can
+            # pay for itself.
+            uncached_suffix = [False] * (len(entries) + 1)
+            for j in range(len(entries) - 1, -1, -1):
+                key_j = ("bm25", entries[j][0]) if bm25 else entries[j][0]
+                uncached_suffix[j] = (
+                    uncached_suffix[j + 1]
+                    or key_j not in self._partial_cache
+                )
         try:
             for i, (term, df, _u) in enumerate(entries):
-                if prune and not restricted and n_cand >= k:
+                if (prune and not restricted and n_cand >= k
+                        and uncached_suffix[i]):
                     cand_pos = np.flatnonzero(touched)
                     if bm25:
                         provisional = acc[cand_pos]
@@ -617,10 +636,20 @@ class Searcher:
         for term in terms:
             p = self.postings_with_positions(term)
             lists.append(p if p is not None else (empty, empty))
+        def isect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            # both sides are sorted unique (position keys are built from
+            # doc-ordinal-major sorted decode), so membership is one
+            # searchsorted — ~3x cheaper than intersect1d's re-sort
+            if not a.size or not b.size:
+                return a[:0]
+            idx = np.searchsorted(b, a)
+            idx[idx == b.size] = b.size - 1
+            return a[b[idx] == a]
+
         tkeys, bkeys = lists[0]
         for ct, cb in lists[1:]:
-            tkeys = np.intersect1d(tkeys + 1, ct, assume_unique=True)
-            bkeys = np.intersect1d(bkeys + 1, cb, assume_unique=True)
+            tkeys = isect_sorted(tkeys + 1, ct)
+            bkeys = isect_sorted(bkeys + 1, cb)
             if not tkeys.size and not bkeys.size:
                 return empty
         ordinals = np.unique(
