@@ -73,6 +73,11 @@ class Searcher:
     #: let a handful of web-scale Zipf-head posting lists exhaust the
     #: actor heap
     CACHE_BYTES = 512 * 1024 * 1024
+    #: df / shard-size ratio above which a term's cached partial also
+    #: keeps a dense (values, mask) image for streaming accumulation
+    #: (see :meth:`_densify_partial`); below it the sparse scatter is
+    #: cheaper and the dense image would waste cache bytes
+    DENSE_PARTIAL_FRAC = 0.25
     #: BM25 parameters (the ``mode="bm25"`` engine extension; the
     #: reference-conformant TF-IDF stays the default scorer)
     BM25_K1 = 1.2
@@ -357,10 +362,29 @@ class Searcher:
         return tkeys, bkeys
 
     # ------------------------------------------------------------------ score
+    def _densify_partial(self, ids, partial, pos):
+        """Partial tuple → 5-tuple, adding a dense (values, mask) pair
+        when the term touches a large fraction of the shard.  For such
+        terms the OR-merge's scatter ``acc[pos] += partial`` is random
+        access over nearly the whole accumulator; a streaming
+        ``acc += dense`` (zeros elsewhere) is ~7× cheaper at 225k-doc
+        shards and fp-EXACT: partials are ≥ 0 and ``x + 0.0 == x``
+        bit-for-bit, and the candidate set stays exact via the bool
+        mask (``touched |= mask``)."""
+        n_stat = len(self._stat_ids)
+        if len(pos) < self.DENSE_PARTIAL_FRAC * n_stat:
+            return (ids, partial, pos, None, None)
+        dense = np.zeros(n_stat, dtype=np.float64)
+        dense[pos] = partial
+        mask = np.zeros(n_stat, dtype=bool)
+        mask[pos] = True
+        return (ids, partial, pos, dense, mask)
+
     def _term_partial(self, term: str, df: int):
         """Decode a term's postings → (doc_ids, partial scores, doc
-        ordinals).  The partial scores depend only on the index (idf,
-        tfMax), so the fully computed arrays are cached per term."""
+        ordinals, dense values|None, dense mask|None).  The partial
+        scores depend only on the index (idf, tfMax), so the fully
+        computed arrays are cached per term."""
         cached = self._partial_cache.get(term)
         if cached is not None:
             return cached
@@ -373,7 +397,7 @@ class Searcher:
             a = self.cfg.title_weight
             adj = a * ttf + (1.0 - a) * btf
             pos = np.searchsorted(self._stat_ids, ids)
-            out = (ids, adj * idf / self._tf_max[pos], pos)
+            out = self._densify_partial(ids, adj * idf / self._tf_max[pos], pos)
         self._maybe_cache(self._partial_cache, term, out)
         return out
 
@@ -400,7 +424,7 @@ class Searcher:
                 + self.BM25_B * self._n_tokens[pos] / self.avgdl
             )
             num = tf * (self.BM25_K1 + 1.0)
-            out = (ids, idf * num / (tf + K), pos)
+            out = self._densify_partial(ids, idf * num / (tf + K), pos)
         self._maybe_cache(self._partial_cache, key, out)
         return out
 
@@ -590,10 +614,16 @@ class Searcher:
                         )
                     if tp is None:
                         continue
-                    _ids, partial, pos = tp
-                    # exact update of existing candidates only
-                    hit = touched[pos]
-                    acc[pos[hit]] += partial[hit]
+                    if len(tp) == 5 and tp[3] is not None:
+                        # exact: non-candidates receive + 0.0
+                        dense, mask = tp[3], tp[4]
+                        np.add(acc, np.where(mask & touched, dense, 0.0),
+                               out=acc)
+                    else:
+                        _ids, partial, pos = tp[:3]
+                        # exact update of existing candidates only
+                        hit = touched[pos]
+                        acc[pos[hit]] += partial[hit]
                 else:
                     tp = (
                         self._term_partial_bm25(term, df)
@@ -601,20 +631,24 @@ class Searcher:
                     )
                     if tp is None:
                         continue
-                    _ids, partial, pos = tp
-                    acc[pos] += partial
-                    touched[pos] = True
+                    if tp[3] is not None:
+                        np.add(acc, tp[3], out=acc)
+                        np.logical_or(touched, tp[4], out=touched)
+                    else:
+                        _ids, partial, pos = tp[:3]
+                        acc[pos] += partial
+                        touched[pos] = True
                     n_cand = int(touched.sum()) if prune else n_cand
-            cand_pos = np.flatnonzero(touched)
-            if not len(cand_pos):
+            final_pos = np.flatnonzero(touched)
+            if not len(final_pos):
                 return (np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.float64))
             if bm25:
-                final = acc[cand_pos].copy()
+                final = acc[final_pos].copy()
             else:
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    final = acc[cand_pos] / self._norm[cand_pos]
-            return self._stat_ids[cand_pos], final
+                    final = acc[final_pos] / self._norm[final_pos]
+            return self._stat_ids[final_pos], final
         finally:
             # reset the reusable buffers (O(candidates), not O(corpus))
             reset = np.flatnonzero(touched)
