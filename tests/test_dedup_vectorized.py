@@ -237,3 +237,40 @@ def test_connected_components_mixed_topologies(ray_session):
     sizes = comp.groupby("component").size()
     assert sorted(sizes.values) == [10, 10, 50]
     assert set(sizes.index) == {200_000, 300_000, 400_000}
+
+
+def test_connected_components_high_ids_no_sentinel_collapse(ray_session):
+    """Node ids above 2^62 (real 63-bit doc-id hashes reach 2^63-1)
+    must NOT collapse onto the min-inert sentinel label — regression
+    for _CC_SENTINEL = 1<<62."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        connected_components,
+        dedup_keep_min,
+    )
+
+    base = np.int64(1) << 62
+    a = [int(base + 10), int(base + 30)]
+    b = [int(base + 20), int(base + 40)]
+    pairs = rd.from_arrow(pa.table(
+        {
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+        }
+    ))
+    comp = connected_components(pairs).to_pandas()
+    got = dict(zip(comp["node"], comp["component"]))
+    assert got == {
+        a[0]: a[0], b[0]: a[0],   # distinct components, real roots
+        a[1]: a[1], b[1]: a[1],
+    }
+
+    docs = rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array(a + b, type=pa.int64()),
+            "text": pa.array(list("wxyz")),
+        }
+    ))
+    kept = dedup_keep_min(docs, pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(a)

@@ -149,3 +149,54 @@ def test_embedding_lsh_finds_exact_pairs(ray_session):
     # LSH is probabilistic but near-identical vectors share buckets with
     # overwhelming probability across 4 tables
     assert lsh_pairs == expected
+
+
+def test_filter_fresh_bloom_drops_stale_duplicate_rows(
+    ray_session, tmp_path_factory, sf_dir
+):
+    """A corpus carrying BOTH a newer and a stale row for the same url
+    must keep only the newer row in bloom mode, exactly like the exact
+    path (regression: the per-URL fresh set kept both)."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import (
+        build_index,
+        filter_fresh,
+    )
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    out = str(tmp_path_factory.mktemp("freshdup") / "idx")
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4,
+    )
+    build_index(lambda: synth_corpus(sf_dir), out, cfg,
+                input_key="freshduptest", resume=False)
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        # for doc 0: one copy +1h (fresh), one copy -1h (stale);
+        # everything else unchanged (not fresh)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids == 0))
+        if sel.num_rows == 0:
+            return batch
+        def shift(t, hours):
+            ts = t["warc_ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]"
+            ) + np.timedelta64(hours, "h")
+            i = t.schema.get_field_index("warc_ts")
+            return t.set_column(
+                i, "warc_ts", pa.array(ts, type=pa.timestamp("us"))
+            )
+        rest = batch.filter(pa.array(ids != 0))
+        return pa.concat_tables([rest, shift(sel, 1), shift(sel, -1)])
+
+    updated = synth_corpus(sf_dir).map_batches(
+        dup_rows, batch_format="pyarrow"
+    )
+    for mode in ("exact", "bloom"):
+        fresh = filter_fresh(updated, out, mode=mode).to_pandas()
+        assert list(fresh["doc_id"]) == [0], mode
+        # the surviving row is the NEWER one
+        assert len(fresh) == 1, mode

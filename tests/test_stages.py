@@ -258,3 +258,51 @@ def test_media_custom_decoder_injection():
 
     with pytest.raises(ValueError, match="unknown media decoder"):
         multimodal.MediaFeatureExtractor(payload_col="p", decoder="nope")
+
+
+def test_lww_shard_dedup_task_idempotent_on_retry(tmp_path):
+    """Ray re-executes tasks on worker loss: a retry that finds a
+    completed ``lww-compacted.parquet`` (plus leftover inputs from the
+    interrupted remove loop) must converge on the compacted state —
+    never delete the output (regression: the output was globbed as an
+    input and removed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.pipelines.build_index import (
+        _lww_shard_dedup_task,
+    )
+
+    d = tmp_path / "doc_shard=0"
+    d.mkdir()
+    rows = pa.table({
+        "url": ["u1", "u1", "u2"],
+        "last_modified": pa.array(
+            np.array(["2024-01-02", "2024-01-01", "2024-01-01"],
+                     dtype="datetime64[us]"),
+            type=pa.timestamp("us")),
+        "text": ["new", "old", "x"],
+    })
+    pq.write_table(rows, d / "part-0.parquet")
+    batch = pa.table({"shard": pa.array([0], pa.int64()),
+                      "dir": pa.array([str(d)])})
+
+    # first (clean) execution: compacts to 2 rows, removes the input
+    r1 = _lww_shard_dedup_task(batch)
+    assert r1["rows"].to_pylist() == [2]
+    assert sorted(p.name for p in d.iterdir()) == ["lww-compacted.parquet"]
+
+    # simulate an interrupted remove loop: leftover input + output
+    pq.write_table(rows, d / "part-0.parquet")
+    r2 = _lww_shard_dedup_task(batch)
+    assert r2["rows"].to_pylist() == [2]
+    files = sorted(p.name for p in d.iterdir())
+    assert files == ["lww-compacted.parquet"], files
+    out = pq.read_table(d / "lww-compacted.parquet")
+    assert sorted(out["url"].to_pylist()) == ["u1", "u2"]
+    assert "new" in out["text"].to_pylist()
+
+    # pure re-execution (no leftovers) is also stable
+    r3 = _lww_shard_dedup_task(batch)
+    assert r3["rows"].to_pylist() == [2]
+    assert sorted(p.name for p in d.iterdir()) == ["lww-compacted.parquet"]

@@ -104,9 +104,16 @@ def main() -> int:
             # fails, so a returned result IS a passed check
             try:
                 eng = canon(qs[name](args.sf))
-            except AssertionError as e:
-                print(f"{name}: SELF-CHECK FAIL: {e}")
-                record[name] = {"self_verified": False, "err": str(e)}
+            except Exception as e:  # noqa: BLE001 — ANY failure of a
+                # self-verified query (assertion, Ray worker error,
+                # convergence RuntimeError, ...) must be RECORDED as a
+                # fail, not abort the whole run and leave the record
+                # stale
+                print(f"{name}: SELF-CHECK FAIL: {type(e).__name__}: {e}")
+                record[name] = {
+                    "self_verified": False,
+                    "err": f"{type(e).__name__}: {e}",
+                }
                 n_fail += 1
                 continue
             desc = selfv.get(name, "no declared assertion")

@@ -130,20 +130,37 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
     for shard, d in zip(
         batch["shard"].to_pylist(), batch["dir"].to_pylist()
     ):
+        comp = os.path.join(d, "lww-compacted.parquet")
         paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-        if not paths:
+        inputs = [p for p in paths if p != comp]
+        if os.path.exists(comp):
+            # A prior attempt of this task completed its compaction
+            # (``os.replace`` below is atomic, so an existing ``comp``
+            # is always a COMPLETE output); any remaining input files
+            # are leftovers of its interrupted remove loop.  Re-running
+            # must converge on the same state, never delete the output
+            # (Ray re-executes tasks on worker loss / lineage
+            # reconstruction).  ``dups_removed`` for a resumed shard is
+            # reported as 0 — the stats row is diagnostic only.
+            for p in inputs:
+                os.remove(p)
+            n = pq.read_metadata(comp).num_rows
+            shards.append(shard); rows_out.append(n); dups_out.append(0)
+            continue
+        if not inputs:
             shards.append(shard); rows_out.append(0); dups_out.append(0)
             continue
-        urls = pq.read_table(paths, columns=["url"])["url"]
+        urls = pq.read_table(inputs, columns=["url"])["url"]
         n = len(urls)
         n_uniq = len(pc.unique(urls.combine_chunks()))
         if n_uniq == n:
             shards.append(shard); rows_out.append(n); dups_out.append(0)
             continue
-        t = pq.read_table(paths)
+        t = pq.read_table(inputs)
         keep = _lww_group_extracted(t)
-        pq.write_table(keep, os.path.join(d, "lww-compacted.parquet"))
-        for p in paths:
+        pq.write_table(keep, comp + ".tmp")
+        os.replace(comp + ".tmp", comp)
+        for p in inputs:
             os.remove(p)
         shards.append(shard)
         rows_out.append(keep.num_rows)
@@ -324,10 +341,13 @@ def filter_fresh(corpus, index_dir: str, *, mode: str = "auto"):
       (url, warc_ts) pass probes it — definite negatives are fresh by
       construction; (3) probable hits go through a url-hash-bucket
       shuffle against the stored (url, last_modified) rows
-      (vectorized ``pc.index_in`` per bucket) which emits the fresh
-      survivors' urls; (4) those urls — bounded by the CHANGED-doc
-      count, not the index size — are broadcast and the full corpus
-      filters on ``bloom-negative OR url ∈ fresh-probables``.  The
+      (vectorized ``pc.index_in`` per bucket) which emits the PROBED
+      stored urls' (url, last_modified) threshold rows; (4) those
+      thresholds — bounded by the probed-url count, not the index
+      size — are broadcast and the full corpus filters PER ROW on
+      ``bloom-negative OR no-threshold OR warc_ts > threshold`` —
+      row-for-row identical to the exact path (a per-URL fresh set
+      would also keep a fresh url's stale older duplicates).  The
       corpus plan executes twice ((2) and (4)); pass a column-pruned
       parquet read so the skinny pass never loads ``html``.
 
@@ -389,6 +409,62 @@ def _ts_us(col) -> np.ndarray:
     )
 
 
+def _bucketed_url_join(sides, combine, *, num_buckets: int, out_cols: dict):
+    """Shared scaffold for the skinny url-keyed bucket-shuffle joins
+    (the freshness threshold probe here and ``update_index``'s
+    full-sync anti-join): each side is ``(dataset, payload_fn,
+    stored_flag)`` — rows are tagged ``(url, payload int64, stored,
+    fbucket = fnv1a63(url) % num_buckets)``, unioned (schema-stable),
+    bucket-grouped, and ``combine(group)`` runs vectorized per bucket.
+    Returns a pandas DataFrame with exactly ``out_cols``
+    ({name: numpy dtype}) even when the join result is empty (an empty
+    ``map_groups`` output loses its schema)."""
+    import functools
+
+    import pandas as pd
+
+    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
+    from web_based_search_engine_ray.util import coalesce
+
+    def tag(batch: pa.Table, payload_fn, stored: bool) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "payload": pa.array(
+                    np.asarray(payload_fn(batch), dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "stored": pa.array(np.full(batch.num_rows, stored)),
+                "fbucket": pa.array(
+                    fnv1a63_array(batch["url"]) % num_buckets,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    tagged = [
+        ds.map_batches(
+            functools.partial(tag, payload_fn=pf, stored=flag),
+            batch_format="pyarrow",
+        )
+        for ds, pf, flag in sides
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.union(t)
+    df = (
+        coalesce(u)
+        .groupby("fbucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if df.empty or any(c not in df.columns for c in out_cols):
+        df = pd.DataFrame(
+            {c: np.empty(0, dtype=d) for c, d in out_cols.items()}
+        )
+    return df[list(out_cols)]
+
+
 def _filter_fresh_bloom(corpus, d_meta: str, *, num_buckets: int = 64):
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
@@ -400,7 +476,6 @@ def _filter_fresh_bloom(corpus, d_meta: str, *, num_buckets: int = 64):
         BloomFilter,
         build_bloom_distributed,
     )
-    from web_based_search_engine_ray.util import coalesce
 
     n_stored = pads.dataset(
         d_meta, format="parquet", partitioning="hive"
@@ -416,73 +491,62 @@ def _filter_fresh_bloom(corpus, d_meta: str, *, num_buckets: int = 64):
     # skinny pass: probable-known (url, warc_ts) rows only
     def probe(batch: pa.Table) -> pa.Table:
         hit = _bloom_hits(batch["url"])
-        kept = batch.filter(pa.array(hit))
-        return pa.table(
-            {
-                "url": kept["url"],
-                "ts": pa.array(_ts_us(kept["warc_ts"]), type=pa.int64()),
-                "stored": pa.array(np.zeros(kept.num_rows, dtype=bool)),
-                "fbucket": pa.array(
-                    fnv1a63_array(kept["url"]) % num_buckets, type=pa.int64()
-                ),
-            }
-        )
+        return batch.filter(pa.array(hit))
 
     probable = corpus.select_columns(["url", "warc_ts"]).map_batches(
         probe, batch_format="pyarrow"
     )
 
-    def tag_stored(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": batch["url"],
-                "ts": pa.array(
-                    _ts_us(batch["last_modified"]), type=pa.int64()
-                ),
-                "stored": pa.array(np.ones(batch.num_rows, dtype=bool)),
-                "fbucket": pa.array(
-                    fnv1a63_array(batch["url"]) % num_buckets,
-                    type=pa.int64(),
-                ),
-            }
-        )
-
-    stored_side = meta_ds.map_batches(tag_stored, batch_format="pyarrow")
-
     def check(group: pa.Table) -> pa.Table:
+        # Emit the stored (url, last_modified) THRESHOLD rows for every
+        # stored url probed by >= 1 candidate.  The final pass then
+        # applies the per-ROW predicate ``ts > threshold`` — identical
+        # to the exact path — instead of a per-URL fresh set (which
+        # would also keep a fresh url's STALE older duplicate rows).
         is_stored = group["stored"].to_numpy(zero_copy_only=False)
         stored_t = group.filter(pa.array(is_stored))
         cand = group.filter(pa.array(~is_stored))
-        pos = pc.index_in(cand["url"], value_set=stored_t["url"])
-        posn = pos.to_numpy(zero_copy_only=False)
-        unseen = pc.is_null(pos).to_numpy(zero_copy_only=False)
-        s_ts = stored_t["ts"].to_numpy(zero_copy_only=False)
-        c_ts = cand["ts"].to_numpy(zero_copy_only=False)
-        newer = np.zeros(len(c_ts), dtype=bool)
-        seen = ~unseen
-        if seen.any():
-            newer[seen] = c_ts[seen] > s_ts[posn[seen].astype(np.int64)]
-        return pa.table({"url": cand.filter(pa.array(unseen | newer))["url"]})
+        probed = pc.is_in(
+            stored_t["url"], value_set=cand["url"].combine_chunks()
+        )
+        hit_stored = stored_t.filter(probed)
+        return pa.table(
+            {"url": hit_stored["url"], "payload": hit_stored["payload"]}
+        )
 
-    fresh_df = (
-        coalesce(probable.union(stored_side))
-        .groupby("fbucket")
-        .map_groups(check, batch_format="pyarrow")
-        .to_pandas()
+    thresh_df = _bucketed_url_join(
+        [
+            (probable, lambda b: _ts_us(b["warc_ts"]), False),
+            (meta_ds, lambda b: _ts_us(b["last_modified"]), True),
+        ],
+        check,
+        num_buckets=num_buckets,
+        out_cols={"url": object, "payload": np.int64},
     )
-    fresh_urls = (
-        fresh_df["url"].tolist() if "url" in fresh_df.columns else []
-    )
-    # bounded by the changed-doc count (worst case — every stored doc
-    # re-crawled with a newer ts — degenerates to the exact path's
+    # bounded by the PROBED stored-url count (worst case — the whole
+    # index re-crawled in one batch — degenerates to the exact path's
     # broadcast size)
-    fresh_ref = ray.put(pa.array(fresh_urls, type=pa.string()))
+    thresh_ref = ray.put(
+        (
+            pa.array(thresh_df["url"], type=pa.string()),
+            thresh_df["payload"].to_numpy(dtype=np.int64),
+        )
+    )
 
     def final(batch: pa.Table) -> pa.Table:
-        keep = ~_bloom_hits(batch["url"])  # definite-new
-        keep |= pc.is_in(
-            batch["url"], value_set=ray.get(fresh_ref)
-        ).to_numpy(zero_copy_only=False)
+        hit = _bloom_hits(batch["url"])
+        keep = ~hit  # definite-new
+        if hit.any():
+            t_urls, t_ts = ray.get(thresh_ref)
+            pos = pc.index_in(batch["url"], value_set=t_urls)
+            unseen = pc.is_null(pos).to_numpy(zero_copy_only=False)
+            posn = pos.fill_null(-1).to_numpy(zero_copy_only=False)
+            # bloom false positive (no stored row) -> fresh
+            keep |= hit & unseen
+            seen = hit & ~unseen
+            if seen.any():
+                ts = _ts_us(batch["warc_ts"])
+                keep[seen] = ts[seen] > t_ts[posn[seen].astype(np.int64)]
         return batch.filter(pa.array(keep))
 
     return corpus.map_batches(final, batch_format="pyarrow")

@@ -778,7 +778,12 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
 
 
 # ------------------------------------------------ components / keep-min
-_CC_SENTINEL = np.int64(1) << 62  # > any real node id; inert under min
+# Min-inert label placeholder on edge rows.  Must be STRICTLY greater
+# than every real node id or distinct components whose members all
+# exceed it would collapse onto the sentinel label (doc ids from
+# 63-bit hashes reach 2^63-1, so (1<<62) was NOT safe); int64 max is,
+# and ``make_edges`` rejects the one unusable id.
+_CC_SENTINEL = np.iinfo(np.int64).max
 
 
 def _cc_min_per_key(keys: np.ndarray, lbl: np.ndarray):
@@ -835,6 +840,11 @@ def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
                 b[src].to_numpy(zero_copy_only=False),
             ]
         ).astype(np.int64)
+        if len(key) and int(key.max()) >= _CC_SENTINEL:
+            raise ValueError(
+                "connected_components: node id equals the int64-max "
+                "sentinel; remap ids below 2^63-1"
+            )
         n = len(key)
         return pa.table(
             {

@@ -155,11 +155,29 @@ def media_pipeline(ds, *, payload_col: str = "payload", batch_size: int = 32,
                    concurrency=(1, 4), decoder: str = "fake"):
     """Standard multimodal shape: small batches, actor pool, drop the
     heavy payload column as early as possible (projection before
-    shuffle)."""
+    shuffle).
+
+    A ``decoder`` NAME is resolved to its factory HERE, on the driver:
+    the registry is a driver-process module global, so a name
+    registered via :func:`register_decoder` at runtime would not exist
+    inside fresh actor processes (only the built-ins re-register on
+    import).  Shipping the factory itself (cloudpickled into the actor
+    constructor) makes the documented register-then-run flow work in
+    any distributed run; unknown names also fail fast on the driver."""
+    if isinstance(decoder, str):
+        try:
+            factory = _DECODERS[decoder]
+        except KeyError:
+            raise ValueError(
+                f"unknown media decoder {decoder!r}; registered: "
+                f"{sorted(_DECODERS)}"
+            ) from None
+    else:
+        factory = decoder
     return ds.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={
-            "payload_col": payload_col, "decoder": decoder,
+            "payload_col": payload_col, "decoder": factory,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

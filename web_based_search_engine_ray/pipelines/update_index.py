@@ -60,58 +60,42 @@ from web_based_search_engine_ray.state import manifest as mf
 def _removed_docs(corpus, index_dir: str, cfg: IndexConfig):
     """(doc_id, url) of indexed docs ABSENT from the snapshot — a
     url-hash-bucket shuffle anti-join over two skinny url columns
-    (``pc.index_in`` per bucket), no driver-side url sets."""
+    (``pc.index_in`` per bucket), no driver-side url sets.  Physical
+    plan shared with the freshness threshold probe
+    (``build_index._bucketed_url_join``)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from web_based_search_engine_ray.functions.hashing import fnv1a63_array
-
-    def tag(batch: pa.Table, *, stored: bool) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "url": batch["url"],
-                "doc_id": (
-                    batch["doc_id"]
-                    if stored
-                    else pa.array(np.full(n, -1, dtype=np.int64))
-                ),
-                "stored": pa.array(np.full(n, stored)),
-                "fbucket": pa.array(
-                    fnv1a63_array(batch["url"]) % cfg.num_buckets,
-                    type=pa.int64(),
-                ),
-            }
-        )
-
-    snap = corpus.select_columns(["url"]).map_batches(
-        functools.partial(tag, stored=False), batch_format="pyarrow"
+    from web_based_search_engine_ray.pipelines.build_index import (
+        _bucketed_url_join,
     )
+
+    snap = corpus.select_columns(["url"])
     stored_side = rd.read_parquet(
         os.path.join(index_dir, "docmeta"), columns=["doc_id", "url"]
-    ).map_batches(functools.partial(tag, stored=True), batch_format="pyarrow")
+    )
 
     def gone(group: pa.Table) -> pa.Table:
         is_stored = group["stored"].to_numpy(zero_copy_only=False)
         st = group.filter(pa.array(is_stored))
-        snap_urls = group.filter(pa.array(~is_stored))["url"]
+        snap_urls = group.filter(pa.array(~is_stored))["url"].combine_chunks()
         missing = pc.is_null(pc.index_in(st["url"], value_set=snap_urls))
         out = st.filter(missing)
-        return pa.table({"doc_id": out["doc_id"], "url": out["url"]})
+        return pa.table({"doc_id": out["payload"], "url": out["url"]})
 
-    from web_based_search_engine_ray.util import coalesce
-
-    df = (
-        coalesce(snap.union(stored_side))
-        .groupby("fbucket")
-        .map_groups(gone, batch_format="pyarrow")
-        .to_pandas()
+    df = _bucketed_url_join(
+        [
+            (snap, lambda b: np.full(b.num_rows, -1, dtype=np.int64), False),
+            (
+                stored_side,
+                lambda b: b["doc_id"].to_numpy(zero_copy_only=False),
+                True,
+            ),
+        ],
+        gone,
+        num_buckets=cfg.num_buckets,
+        out_cols={"doc_id": np.int64, "url": object},
     )
-    if "url" not in df.columns:  # empty result loses the schema
-        import pandas as pd
-
-        df = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64),
-                           "url": []})
     return df
 
 

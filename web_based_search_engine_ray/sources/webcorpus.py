@@ -164,8 +164,14 @@ def synth_corpus_cached(
 
     if repeat <= 1:
         return synth_corpus(sf_dir, parallelism=parallelism)
+    # the key covers the INPUT CONTENT (mtime+size of documents.parquet),
+    # not just its path — regenerated testdata under the same path must
+    # not silently reuse a stale cached expansion
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{repeat}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{repeat}|{st.st_mtime_ns}|"
+        f"{st.st_size}|v1".encode()
     ).hexdigest()[:12]
     d = os.path.join(cache_root, key)
     marker = d + ".done.json"
