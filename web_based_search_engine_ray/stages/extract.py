@@ -87,6 +87,13 @@ class Extractor:
             doc_ids = pa.array(
                 [stable_hash63(u) for u in urls], type=pa.int64()
             )
+        # lang is optional on the input contract (build_index docstring:
+        # corpus (url, warc_ts, html[, text, lang[, doc_id]])) — real
+        # WARC dumps carry no language column
+        lang = (
+            batch["lang"] if "lang" in batch.column_names
+            else pa.nulls(batch.num_rows, pa.string())
+        )
 
         return pa.table(
             {
@@ -97,6 +104,6 @@ class Extractor:
                 "links": pa.array(links, type=pa.list_(pa.string())),
                 "page_size": pa.array(sizes, type=pa.int64()),
                 "last_modified": batch["warc_ts"],
-                "lang": batch["lang"],
+                "lang": lang,
             }
         )
