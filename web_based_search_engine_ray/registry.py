@@ -620,6 +620,31 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["doc_id", "width", "height"])
 
 
+def q_train_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment per doc — pure
+    function of (doc_id, salt), reproducible at any parallelism
+    (``pipelines.sampling``)."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.sampling import assign_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = assign_split(
+        ds, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1"
+    )
+    return out.select_columns(["doc_id", "split"])
+
+
+def q_sample_10pct(sf_dir: str):
+    """Deterministic 10% hash-gated down-sample of the corpus."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.sampling import sample_fraction
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return sample_fraction(ds, 0.1, salt="v1")
+
+
 # ------------------------------------------------------------------ registry
 def queries():
     return {
@@ -653,6 +678,8 @@ def queries():
         "lineitem_agg": q_lineitem_agg,
         "orders_join": q_orders_join,
         "media_features": q_media_features,
+        "train_split": q_train_split,
+        "sample_10pct": q_sample_10pct,
     }
 
 
@@ -861,6 +888,28 @@ def _minhash_pairs_sql() -> str:
         SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 64 AS est_jaccard
         FROM pairstats WHERE shares = 1 AND matches >= 32
     """
+
+
+def _train_split_sql() -> str:
+    """Mirror of ``pipelines.sampling.assign_split`` (90/5/5, salt v1):
+    same md5-prefix bucket arithmetic, same integer thresholds."""
+    from web_based_search_engine_ray.pipelines.sampling import sql_bucket_expr
+
+    b = sql_bucket_expr("doc_id", "v1")
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {b} < 900000 THEN 'train'
+                    WHEN {b} < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+def _sample_10pct_sql() -> str:
+    from web_based_search_engine_ray.pipelines.sampling import sql_bucket_expr
+
+    b = sql_bucket_expr("doc_id", "v1")
+    return f"SELECT doc_id FROM documents WHERE {b} < 100000"
 
 
 def _media_features_sql() -> str:
@@ -1089,6 +1138,8 @@ def oracle_sql():
             WHERE doc_id NOT IN (SELECT node FROM dropped)
         """,
         "media_features": _media_features_sql(),
+        "train_split": _train_split_sql(),
+        "sample_10pct": _sample_10pct_sql(),
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         """,
