@@ -645,6 +645,31 @@ def q_sample_10pct(sf_dir: str):
     return sample_fraction(ds, 0.1, salt="v1")
 
 
+_PACK_BUDGET = 512
+_PACK_SHARDS = 4
+
+
+def q_pack_docs(sf_dir: str):
+    """Greedy token-budget sequence packing per doc-id shard (the
+    training-export operator, ``pipelines.packing``); invariants also
+    asserted in-process before returning."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.packing import (
+        pack_sequences,
+        verify_packing,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = pack_sequences(
+        ds, _PACK_BUDGET, num_shards=_PACK_SHARDS
+    ).to_pandas()
+    verify_packing(out, _PACK_BUDGET)
+    return out[["doc_id", "shard", "pack", "token_count"]]
+
+
 # ------------------------------------------------------------------ registry
 def queries():
     return {
@@ -680,6 +705,7 @@ def queries():
         "media_features": q_media_features,
         "train_split": q_train_split,
         "sample_10pct": q_sample_10pct,
+        "pack_docs": q_pack_docs,
     }
 
 
@@ -887,6 +913,39 @@ def _minhash_pairs_sql() -> str:
         )
         SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 64 AS est_jaccard
         FROM pairstats WHERE shares = 1 AND matches >= 32
+    """
+
+
+def _pack_docs_sql() -> str:
+    """Recursive-CTE mirror of ``pipelines.packing.pack_sequences``:
+    same tokenizer (the ``token_count`` oracle expression), same
+    greedy first-fit-in-doc-id-order recurrence per shard."""
+    toks = _TOKS.format(s="text")
+    b, s = _PACK_BUDGET, _PACK_SHARDS
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, doc_id % {s} AS shard,
+                   CAST(len({toks}) AS BIGINT) AS token_count,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % {s} ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, rn, doc_id, token_count,
+                   CAST(0 AS BIGINT) AS pack, token_count AS fill
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT d.shard, d.rn, d.doc_id, d.token_count,
+                   CASE WHEN p.fill + d.token_count <= {b} THEN p.pack
+                        ELSE p.pack + 1 END,
+                   CASE WHEN p.fill + d.token_count <= {b}
+                        THEN p.fill + d.token_count
+                        ELSE d.token_count END
+            FROM base d JOIN packed p
+              ON d.shard = p.shard AND d.rn = p.rn + 1
+        )
+        SELECT doc_id, shard, pack, token_count FROM packed
     """
 
 
@@ -1140,6 +1199,7 @@ def oracle_sql():
         "media_features": _media_features_sql(),
         "train_split": _train_split_sql(),
         "sample_10pct": _sample_10pct_sql(),
+        "pack_docs": _pack_docs_sql(),
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         """,
