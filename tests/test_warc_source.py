@@ -109,3 +109,30 @@ def test_read_warc_dataset_and_build(ray_session, tmp_path):
     assert sorted(res["title"]) == ["Alpha", "Gamma"]
     res2 = s.search({"window"}, k=10, hydrate=True)
     assert list(res2["title"]) == ["Beta"]
+
+
+def test_warc_midfile_corruption_raises(tmp_path):
+    """Mid-file corruption must raise, not silently drop the rest of a
+    40k-record member (only truncated TAILS end parsing quietly)."""
+    import pytest
+
+    from web_based_search_engine_ray.sources.warc import (
+        parse_warc_records,
+        write_warc,
+    )
+
+    p = tmp_path / "t.warc"
+    write_warc(str(p), _sample_records())
+    data = p.read_bytes()
+
+    # corrupt the SECOND record's version line
+    idx = data.index(b"WARC/1.0", data.index(b"WARC/1.0") + 1)
+    bad = data[:idx] + b"GARB/9.9" + data[idx + 8:]
+    with pytest.raises(ValueError, match="version line"):
+        list(parse_warc_records(bad))
+
+    # corrupt a Content-Length value (same byte count)
+    cl = data.index(b"Content-Length: ")
+    bad2 = data[:cl + 16] + b"4O" + data[cl + 18:]
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(parse_warc_records(bad2))

@@ -378,7 +378,11 @@ class Searcher:
         dense[pos] = partial
         mask = np.zeros(n_stat, dtype=bool)
         mask[pos] = True
-        return (ids, partial, pos, dense, mask)
+        # the sparse triple is never read once a dense image exists
+        # (both scores_arrays branches use dense/mask when tp[3] is not
+        # None) — dropping it keeps the byte-budgeted cache from paying
+        # ~1.7x per densified term
+        return (None, None, None, dense, mask)
 
     def _term_partial(self, term: str, df: int):
         """Decode a term's postings → (doc_ids, partial scores, doc

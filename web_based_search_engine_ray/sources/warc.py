@@ -54,12 +54,18 @@ def parse_warc_records(data: bytes):
 
     Record grammar (WARC 1.0 §4): version line + named fields, CRLF
     CRLF, ``Content-Length`` body bytes, CRLF CRLF.  Header names are
-    lower-cased; a malformed trailer stops parsing (never raises on
-    truncated tails — a partial fetch of a 1 GB member should still
-    yield its complete records)."""
+    lower-cased.  Failure semantics matter at crawl scale: a TRUNCATED
+    TAIL (fewer bytes than the last record's declared length, or an
+    unterminated header block at EOF) ends parsing quietly — a partial
+    fetch of a 1 GB member still yields its complete records — but
+    MID-FILE corruption (a non-``WARC/`` version line, an unparsable
+    ``Content-Length``) RAISES: silently stopping there would drop
+    every remaining record of the member and be indistinguishable from
+    clean EOF."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     i, n = 0, len(data)
+    rec = 0
     while i < n:
         while data.startswith(b"\r\n", i):
             i += 2
@@ -67,11 +73,15 @@ def parse_warc_records(data: bytes):
             break
         he = data.find(_CRLF2, i)
         if he < 0:
-            break
+            break  # header block never terminated: truncated tail
         head = data[i:he].decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
-            break
+            raise ValueError(
+                f"malformed WARC data at byte {i} (record {rec}): "
+                f"expected a WARC/ version line, got "
+                f"{lines[0][:40]!r}"
+            )
         headers: dict[str, str] = {}
         for line in lines[1:]:
             k, _, v = line.partition(":")
@@ -79,11 +89,15 @@ def parse_warc_records(data: bytes):
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
-            break
+            raise ValueError(
+                f"malformed WARC record {rec} at byte {i}: unparsable "
+                f"Content-Length {headers.get('content-length')!r}"
+            ) from None
         body = data[he + len(_CRLF2): he + len(_CRLF2) + length]
         if len(body) < length:
             break  # truncated tail
         i = he + len(_CRLF2) + length
+        rec += 1
         yield headers, body
 
 

@@ -166,16 +166,34 @@ def synth_corpus_cached(
         return synth_corpus(sf_dir, parallelism=parallelism)
     # the key covers the INPUT CONTENT (mtime+size of documents.parquet),
     # not just its path — regenerated testdata under the same path must
-    # not silently reuse a stale cached expansion
+    # not silently reuse a stale cached expansion.  The dir name keeps a
+    # readable (sf, repeat) family prefix so stale generations of the
+    # SAME family can be purged below (content change = new key = the
+    # old multi-GB expansion would otherwise be orphaned forever).
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = hashlib.md5(
+    content = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{repeat}|{st.st_mtime_ns}|"
         f"{st.st_size}|v1".encode()
     ).hexdigest()[:12]
+    family = (
+        f"{os.path.basename(os.path.abspath(sf_dir))}-r{repeat}-"
+    )
+    key = family + content
     d = os.path.join(cache_root, key)
     marker = d + ".done.json"
     if not os.path.exists(marker):
+        if os.path.isdir(cache_root):
+            for name in os.listdir(cache_root):
+                if name.startswith(family) and not name.startswith(key):
+                    shutil.rmtree(
+                        os.path.join(cache_root, name), ignore_errors=True
+                    )
+                    if name.endswith(".done.json"):
+                        try:
+                            os.remove(os.path.join(cache_root, name))
+                        except OSError:
+                            pass
         shutil.rmtree(d, ignore_errors=True)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
