@@ -204,3 +204,163 @@ def lang_distribution(ds):
     from ray.data.aggregate import Count
 
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Word-bigram repetition metrics (Gopher/MassiveText-style repetition
+# filters, adapted to word n-grams: Rae et al. 2021, public).  A doc's
+# tokens are the engine tokenizer's lowercased non-empty tokens; a
+# bigram never crosses a document boundary.
+
+
+def _batch_doc_bigrams(batch: pa.Table):
+    """Tokenize a batch and return the flat per-batch bigram arrays:
+
+    ``(doc_bounds, tok_lens, bkey, binv, bcounts, bdoc, bmass, n_docs)``
+    where ``bkey`` is the unique (doc, w1, w2) int64 combo key sorted
+    doc-major, ``binv/bcounts`` the np.unique inverse/counts, ``bdoc``
+    the doc ordinal of each bigram OCCURRENCE, and ``bmass`` the char
+    mass ``len(w1)+len(w2)`` per unique bigram.  One ``re.split`` per
+    doc (C call), everything after is vectorized."""
+    texts = batch["text"].to_pylist()
+    toks_per_doc = [
+        [t.lower() for t in TOKEN_RE.split(txt) if t] for txt in texts
+    ]
+    n_tok = np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts)
+    )
+    flat = [t for doc in toks_per_doc for t in doc]
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), n_tok)
+    if flat:
+        import pandas as pd
+
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        lenu = np.fromiter((len(u) for u in uniq), dtype=np.int64,
+                           count=len(uniq))
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        lenu = np.empty(0, dtype=np.int64)
+    v = np.int64(max(len(lenu), 1))
+    # combo key (doc * V + w1) * V + w2 must fit int64; batch-scale
+    # vocab (≤ ~1e6) × docs (≤ ~1e5) stays far under 2^63
+    if int(v) * int(v) * max(len(texts), 1) >= 2**62:
+        raise ValueError("bigram combo key would overflow; shrink batch")
+    adj = doc_of[1:] == doc_of[:-1]
+    c1, c2 = codes[:-1][adj], codes[1:][adj]
+    bdoc = doc_of[:-1][adj]
+    key = (bdoc * v + c1) * v + c2
+    ukey, binv, bcounts = np.unique(key, return_inverse=True,
+                                    return_counts=True)
+    uw1 = (ukey // v) % v
+    uw2 = ukey % v
+    bmass = lenu[uw1] + lenu[uw2] if len(ukey) else np.empty(0, np.int64)
+    udoc = ukey // (v * v)
+    tok_chars = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(tok_chars, doc_of, lenu[codes])
+    return {
+        "n_docs": len(texts),
+        "n_tok": n_tok,
+        "tok_chars": tok_chars,
+        "codes": codes,
+        "uniq_tokens": uniq if flat else np.empty(0, dtype=object),
+        "bdoc": bdoc,
+        "ukey": ukey,
+        "udoc": udoc,
+        "binv": binv,
+        "bcounts": bcounts,
+        "bmass": bmass,
+        "v": v,
+    }
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc word-bigram repetition metrics:
+
+    - ``dup_bigram_frac``: fraction of bigram occurrences whose bigram
+      appears more than once in the doc;
+    - ``top_bigram_frac``: char mass of the most frequent bigram
+      (ties → larger char mass) over the doc's total token chars.
+
+    Both are exact integer ratios computed as ``int/int`` float64
+    division, so the SQL oracle reproduces them bit-for-bit (callers
+    floor-scale for the hash compare, like ``quality``)."""
+    b = _batch_doc_bigrams(batch)
+    nd = b["n_docs"]
+    n_bigrams = np.zeros(nd, dtype=np.int64)
+    np.add.at(n_bigrams, b["bdoc"], 1)
+    dup_occ = np.zeros(nd, dtype=np.int64)
+    if len(b["binv"]):
+        dup_mask = b["bcounts"][b["binv"]] > 1
+        np.add.at(dup_occ, b["bdoc"][dup_mask], 1)
+    # top bigram per doc: lexicographic (count, char-mass) max via a
+    # composite int; bmass < 2^20 (tokens are bounded by doc length)
+    comp_top = np.zeros(nd, dtype=np.int64)
+    if len(b["ukey"]):
+        if int(b["bmass"].max()) >= 1 << 20:
+            raise ValueError(
+                "bigram char mass exceeds the 20-bit composite budget "
+                "(a single token longer than ~500 KB); such docs should "
+                "be length-filtered upstream"
+            )
+        comp = b["bcounts"] * np.int64(1 << 20) + b["bmass"]
+        np.maximum.at(comp_top, b["udoc"], comp)
+    top_cnt = comp_top >> 20
+    top_mass = comp_top & ((1 << 20) - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_frac = np.where(
+            n_bigrams > 0, dup_occ / np.maximum(n_bigrams, 1), 0.0
+        )
+        top_frac = np.where(
+            n_bigrams > 0,
+            (top_cnt * top_mass) / np.maximum(b["tok_chars"], 1),
+            0.0,
+        )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(b["n_tok"], type=pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+            "dup_bigram_frac": pa.array(dup_frac, type=pa.float64()),
+            "top_bigram_frac": pa.array(top_frac, type=pa.float64()),
+        }
+    )
+
+
+def top_bigrams(ds, *, k: int = 20):
+    """Corpus-wide top-k word bigrams: per-batch partial counts
+    (combiner — the shuffle carries unique bigrams per block, not
+    occurrences), small ``groupby(bigram).sum``, deterministic top-k
+    by (count desc, bigram asc)."""
+    from ray.data.aggregate import Sum
+
+    from web_based_search_engine_ray.util import coalesce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _batch_doc_bigrams(batch)
+        if not len(b["ukey"]):
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        v = b["v"]
+        uw1 = (b["ukey"] // v) % v
+        uw2 = b["ukey"] % v
+        toks = b["uniq_tokens"]
+        # collapse across docs within the batch
+        pair = uw1 * v + uw2
+        upair, pinv = np.unique(pair, return_inverse=True)
+        cnt = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(cnt, pinv, b["bcounts"])
+        names = [f"{toks[p // v]} {toks[p % v]}" for p in upair]
+        return pa.table(
+            {"bigram": pa.array(names, type=pa.string()),
+             "n": pa.array(cnt, type=pa.int64())}
+        )
+
+    agg = (
+        coalesce(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)

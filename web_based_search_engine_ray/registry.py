@@ -202,6 +202,73 @@ def q_link_edges(sf_dir: str):
     return t.select(["src_url", "dst_url"])
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the index's link-edge table (distinct (src,dst),
+    dangling mass redistributed, damping 0.85, FIXED 5 iterations so
+    the unrolled SQL oracle computes the identical recurrence).
+    Scores rounded to 9dp on both sides (values ~1/N; fp summation
+    order is the only divergence and sits ~1e-18 off the grid)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.graph import pagerank
+
+    idx = get_index(sf_dir, ORACLE_CONFIG)
+    t = pads.dataset(os.path.join(idx, "edges"), format="parquet").to_table()
+    res = pagerank(
+        rd.from_arrow(t.select(["src_url", "dst_url"])),
+        damping=0.85,
+        iters=_PAGERANK_ITERS,
+    ).to_pandas()
+    res["pagerank"] = np.round(res["pagerank"], 9)
+    return res[["url", "pagerank"]]
+
+
+_PAGERANK_ITERS = 5
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS, damping: float = 0.85) -> str:
+    """Unrolled-iteration mirror of pipelines.graph.pagerank over the
+    synthetic corpus's derived edge set (doc → doc+{1,7,42})."""
+    d = repr(damping)
+    ctes = [
+        f"""edges AS (
+            SELECT {_SQL_URL} AS src,
+                   'https://corpus.example.com/' || printf('%012d', doc_id + off) || '.html' AS dst
+            FROM documents, (SELECT unnest([1, 7, 42]) AS off)
+        )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "odeg AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        ctes.append(f"""dang{i} AS (
+            SELECT COALESCE(SUM(p.rank), 0.0) AS dm
+            FROM {p} p LEFT JOIN odeg o ON p.node = o.node
+            WHERE o.node IS NULL
+        )""")
+        ctes.append(f"""pr{i} AS (
+            SELECT n.node,
+                   (1 - {d}) / nn.n
+                   + {d} * (COALESCE(c.contrib, 0.0) + dang{i}.dm / nn.n) AS rank
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.rank / o.od) AS contrib
+                FROM edges e
+                JOIN {p} p ON e.src = p.node
+                JOIN odeg o ON e.src = o.node
+                GROUP BY e.dst
+            ) c ON n.node = c.node
+            CROSS JOIN nn CROSS JOIN dang{i}
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS url, ROUND(rank, 9) AS pagerank FROM pr{iters}"
+    )
+
+
 def q_docmeta(sf_dir: str):
     import pyarrow.dataset as pads
 
@@ -442,6 +509,35 @@ def q_quality(sf_dir: str):
     return res[["doc_id", "n_chars", "alpha_ratio", "digit_ratio", "space_ratio"]]
 
 
+def q_repetition(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        repetition_stats_batch,
+    )
+
+    res = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(repetition_stats_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # int/int ratios are bit-identical on both sides; floor-scale (not
+    # round) for the same half-tie reason as `quality`
+    for c in ("dup_bigram_frac", "top_bigram_frac"):
+        res[c] = np.floor(res[c] * 1e6) / 1e6
+    return res[
+        ["doc_id", "n_tokens", "n_bigrams", "dup_bigram_frac",
+         "top_bigram_frac"]
+    ]
+
+
+def q_top_bigrams(sf_dir: str):
+    from web_based_search_engine_ray.pipelines.text_pipeline import top_bigrams
+
+    return top_bigrams(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=20
+    )
+
+
 def q_fingerprint(sf_dir: str):
     from web_based_search_engine_ray.pipelines.text_pipeline import (
         fingerprint_batch,
@@ -680,6 +776,7 @@ def queries():
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "link_edges": q_link_edges,
+        "pagerank": q_pagerank,
         "docmeta": q_docmeta,
         "search_stemmed": q_search_stemmed,
         "stemmed_conformance": q_stemmed_conformance,
@@ -693,6 +790,8 @@ def queries():
         "ivf_ann": q_ivf_ann,
         "token_count": q_token_count,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "top_bigrams": q_top_bigrams,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "lang_dist": q_lang_dist,
@@ -1074,6 +1173,7 @@ def oracle_sql():
                    'https://corpus.example.com/' || printf('%012d', doc_id + off) || '.html' AS dst_url
             FROM documents, (SELECT unnest([1, 7, 42]) AS off)
         """,
+        "pagerank": _pagerank_sql(),
         "docmeta": f"""
             SELECT doc_id, {_SQL_URL} AS url, {_SQL_TITLE} AS title,
                    TIMESTAMP '2024-01-01 00:00:00'
@@ -1166,6 +1266,58 @@ def oracle_sql():
                      CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
                        / length(text) END) * 1e6) / 1e6 AS space_ratio
             FROM documents
+        """,
+        # bigrams over the engine tokenizer's lowercased tokens; both
+        # metrics are int/int float64 ratios → floor-scale matches the
+        # numpy side bit-for-bit.  Top bigram tie-break: among max-count
+        # bigrams take max char mass (same composite as the numpy side).
+        "repetition": f"""
+            WITH toks AS ({_BODY_TOKENS}),
+            stats AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       SUM(LENGTH(term)) AS tchars
+                FROM toks GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT a.doc_id, a.term AS w1, b.term AS w2,
+                       LENGTH(a.term) + LENGTH(b.term) AS bl
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            cnt AS (
+                SELECT doc_id, w1, w2, ANY_VALUE(bl) AS bl, COUNT(*) AS c
+                FROM bg GROUP BY doc_id, w1, w2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(c) AS n_bigrams,
+                       SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                       MAX(c * 1048576 + bl) AS comp
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN a.n_bigrams > 0 THEN
+                     FLOOR(CAST(a.dup_occ AS DOUBLE) / a.n_bigrams * 1e6) / 1e6
+                   ELSE 0.0 END AS dup_bigram_frac,
+                   CASE WHEN a.n_bigrams > 0 THEN
+                     FLOOR(CAST((a.comp // 1048576) * (a.comp % 1048576) AS DOUBLE)
+                           / s.tchars * 1e6) / 1e6
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN stats s ON d.doc_id = s.doc_id
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "top_bigrams": f"""
+            WITH toks AS ({_BODY_TOKENS}),
+            bg AS (
+                SELECT a.term || ' ' || b.term AS bigram
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            )
+            SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 20
         """,
         "fingerprint": """
             SELECT doc_id,
