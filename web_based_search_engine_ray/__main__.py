@@ -5,6 +5,7 @@
     python -m web_based_search_engine_ray search --index IDX "words..." [--phrase "a b"] [-k N]
     python -m web_based_search_engine_ray print  --index IDX
     python -m web_based_search_engine_ray server --index IDX [--port N]
+    python -m web_based_search_engine_ray pagerank --index IDX [--iters N] [--top K]
 
 The CLI owns the Ray session (guarded init); library code never does.
 """
@@ -59,6 +60,11 @@ def main(argv=None):
     v.add_argument("--index", required=True)
     v.add_argument("--port", type=int, default=8080)
 
+    g = sub.add_parser("pagerank", help="rank urls by the index link graph")
+    g.add_argument("--index", required=True)
+    g.add_argument("--iters", type=int, default=10)
+    g.add_argument("--top", type=int, default=20)
+
     args = p.parse_args(argv)
     ray = _ray()
     try:
@@ -112,6 +118,29 @@ def main(argv=None):
             from web_based_search_engine_ray.pipelines.server import serve
 
             serve(args.index, port=args.port)
+        elif args.cmd == "pagerank":
+            import os
+
+            import pyarrow.dataset as pads
+            import ray.data as rd
+
+            from web_based_search_engine_ray.pipelines.graph import pagerank
+
+            t = pads.dataset(
+                os.path.join(args.index, "edges"), format="parquet"
+            ).to_table()
+            res = (
+                pagerank(
+                    rd.from_arrow(t.select(["src_url", "dst_url"])),
+                    iters=args.iters,
+                )
+                .to_pandas()
+                .sort_values(
+                    ["pagerank", "url"], ascending=[False, True]
+                )
+                .head(args.top)
+            )
+            print(res.to_string(index=False))
     finally:
         ray.shutdown()
 

@@ -538,6 +538,121 @@ def q_top_bigrams(sf_dir: str):
     )
 
 
+def q_clean_corpus(sf_dir: str):
+    """End-to-end training-data cleaning funnel (langid → quality →
+    repetition → exact dedup → MinHash fuzzy dedup) — the WHOLE
+    composition has one value-exact SQL mirror."""
+    from web_based_search_engine_ray.pipelines.clean import clean_corpus
+
+    kept, _funnel = clean_corpus(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+    return kept
+
+
+def _clean_corpus_sql() -> str:
+    """Composed mirror of pipelines.clean.clean_corpus: every gate uses
+    the RAW int/int float64 metric (identical bits on both sides), the
+    exact-dedup keeps MIN(doc_id) per text, and the fuzzy stage reuses
+    the minhash oracle parameterized over the survivor CTE plus the
+    recursive-closure keep-min."""
+    return f"""
+        WITH RECURSIVE lang AS ({_lang_profile_sql()}),
+        ctoks AS ({_BODY_TOKENS}),
+        cbgr AS (
+            SELECT a.doc_id, a.term AS w1, b.term AS w2
+            FROM ctoks a JOIN ctoks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        ccnt AS (
+            SELECT doc_id, w1, w2, COUNT(*) AS c
+            FROM cbgr GROUP BY doc_id, w1, w2
+        ),
+        cagg AS (
+            SELECT doc_id, SUM(c) AS nb,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM ccnt GROUP BY doc_id
+        ),
+        survivors AS (
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN lang l ON l.doc_id = d.doc_id
+            LEFT JOIN cagg a ON a.doc_id = d.doc_id
+            WHERE l.lang_pred IN ('en')
+              AND length(d.text) >= 100
+              AND (CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+                     CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                          AS DOUBLE) / length(d.text) END) >= 0.81
+              AND (CASE WHEN a.nb > 0 THEN CAST(a.dup AS DOUBLE) / a.nb
+                        ELSE 0.0 END) <= 0.12
+        ),
+        exact AS (
+            SELECT MIN(doc_id) AS doc_id FROM survivors GROUP BY text
+        ),
+        kept AS (
+            SELECT s.doc_id, s.text FROM survivors s
+            JOIN exact e ON s.doc_id = e.doc_id
+        ),
+        prs AS ({_minhash_pairs_sql(source="kept")}),
+        cedges AS (
+            SELECT doc_a AS s, doc_b AS d FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM cedges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+        ),
+        dropped AS (
+            SELECT s AS node FROM reach GROUP BY s HAVING MIN(d) < s
+        )
+        SELECT doc_id FROM kept
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approximate distinct-token count via the HyperLogLog sketch —
+    SELF-VERIFYING: asserts relative error ≤ 2% against the exact
+    distinct count (computed in-process; fine at driver sf, the sketch
+    itself is the 10^12-row path) before returning."""
+    import pyarrow as pa
+
+    from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
+    from web_based_search_engine_ray.pipelines.sketches import hll_distinct
+
+    def toks(batch: pa.Table) -> pa.Table:
+        out = [
+            t.lower()
+            for txt in batch["text"].to_pylist()
+            for t in TOKEN_RE.split(txt)
+            if t
+        ]
+        return pa.table({"tok": pa.array(out, type=pa.string())})
+
+    tokens = (
+        _docs(sf_dir).select_columns(["text"])
+        .map_batches(toks, batch_format="pyarrow")
+    )
+    r = hll_distinct(tokens, "tok", p=14)
+    exact = len(
+        np.unique(tokens.to_pandas()["tok"].to_numpy())
+    )
+    rel_err = abs(r["estimate"] / max(exact, 1) - 1.0)
+    assert rel_err <= 0.02, (
+        f"HLL estimate {r['estimate']:.1f} vs exact {exact}: "
+        f"rel err {rel_err:.4f} > 0.02"
+    )
+    return pd.DataFrame(
+        {
+            "distinct_est": pd.Series([r["estimate"]], dtype="float64"),
+            "distinct_exact": pd.Series([exact], dtype="int64"),
+            "rel_err": pd.Series([rel_err], dtype="float64"),
+        }
+    )
+
+
 def q_fingerprint(sf_dir: str):
     from web_based_search_engine_ray.pipelines.text_pipeline import (
         fingerprint_batch,
@@ -792,6 +907,8 @@ def queries():
         "quality": q_quality,
         "repetition": q_repetition,
         "top_bigrams": q_top_bigrams,
+        "hll_distinct": q_hll_distinct,
+        "clean_corpus": q_clean_corpus,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "lang_dist": q_lang_dist,
@@ -828,6 +945,12 @@ def self_verified() -> dict[str, str]:
         "ivf_ann": (
             "recall@10 vs exact brute-force top-k asserted >= 0.3 "
             "(approximate by design; the gate catches breakage)"
+        ),
+        "hll_distinct": (
+            "HyperLogLog distinct-token estimate asserted within 2% "
+            "relative error of the exact in-process distinct count "
+            "(approximate by design — a sketch cannot hash-match an "
+            "exact SQL COUNT(DISTINCT))"
         ),
     }
 
@@ -921,14 +1044,18 @@ def _simhash_pairs_sql(max_hamming: int = 8) -> str:
     """
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(source: str = "documents") -> str:
     """Mirror of pipelines.dedup.minhash_lsh_pairs (k=3, 64 perms, 16
     bands of 4 rows, threshold 0.5): md5 token hashes → polynomial
     shingle fold mod 2^61-1 → per-permutation min → pairs sharing ≥1
     exact band with ≥32/64 agreeing permutations.  The permutation
     constants are the engine's seeded values, inlined.  (The engine
     buckets by an FNV mix of the band values — collision probability is
-    ~2^-64, so exact band equality is the oracle contract.)"""
+    ~2^-64, so exact band equality is the oracle contract.)
+
+    ``source``: relation with (doc_id, text) to dedup over — the
+    documents view by default, or an outer CTE name (composition, e.g.
+    the clean_corpus survivor set)."""
     from web_based_search_engine_ray.pipelines.dedup import (
         SHINGLE_BASE,
         MinHasher,
@@ -947,7 +1074,7 @@ def _minhash_pairs_sql() -> str:
         toks AS (
             SELECT doc_id, lower(unnest({toks})) AS tok,
                    unnest(range(len({toks}))) AS pos
-            FROM documents
+            FROM {source}
         ),
         th AS (
             SELECT doc_id, pos,
@@ -994,7 +1121,7 @@ def _minhash_pairs_sql() -> str:
             SELECT * FROM sig
             UNION ALL
             SELECT d.doc_id, p.perm, {p} AS mv
-            FROM (SELECT doc_id FROM documents
+            FROM (SELECT doc_id FROM {source}
                   EXCEPT SELECT doc_id FROM nt) d
             CROSS JOIN perms p
         ),
@@ -1309,6 +1436,7 @@ def oracle_sql():
             LEFT JOIN stats s ON d.doc_id = s.doc_id
             LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
+        "clean_corpus": _clean_corpus_sql(),
         "top_bigrams": f"""
             WITH toks AS ({_BODY_TOKENS}),
             bg AS (

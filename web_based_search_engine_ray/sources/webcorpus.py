@@ -140,6 +140,7 @@ def synth_corpus_cached(
     repeat: int = 1,
     parallelism: int | None = None,
     cache_root: str = "/tmp/graft_corpus_cache",
+    columns: list[str] | None = None,
 ):
     """``synth_corpus`` materialized to parquet once, then READ like a
     real crawl dump.
@@ -163,7 +164,8 @@ def synth_corpus_cached(
     import ray.data as rd
 
     if repeat <= 1:
-        return synth_corpus(sf_dir, parallelism=parallelism)
+        ds = synth_corpus(sf_dir, parallelism=parallelism)
+        return ds.select_columns(columns) if columns else ds
     # the key covers the INPUT CONTENT (mtime+size of documents.parquet),
     # not just its path — regenerated testdata under the same path must
     # not silently reuse a stale cached expansion.  The dir name keeps a
@@ -205,6 +207,10 @@ def synth_corpus_cached(
         os.rename(tmp, d)
         with open(marker, "w") as f:
             json.dump({"sf_dir": sf_dir, "repeat": repeat}, f)
+    # ``columns`` prunes the cached read (e.g. dataops benches that only
+    # need doc_id+text skip the html payload — most of the bytes)
     return rd.read_parquet(
-        d, override_num_blocks=parallelism or default_parallelism()
+        d,
+        columns=columns,
+        override_num_blocks=parallelism or default_parallelism(),
     )
