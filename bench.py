@@ -286,6 +286,12 @@ def run_dataops() -> dict:
         synth_corpus_cached,
     )
 
+    legs = set(
+        os.environ.get(
+            "GRAFT_DATAOPS_LEGS",
+            "dedup_minhash,text_quality,text_repetition,dedup_exact",
+        ).split(",")
+    )
     timings: dict[str, float] = {}
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         lambda b: b, batch_format="pyarrow"
@@ -325,21 +331,27 @@ def run_dataops() -> dict:
     docs = docs.map_batches(scramble, batch_format="pyarrow").materialize()
     n_docs = docs.count()
 
-    t0 = time.perf_counter()
-    dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
-    timings["dedup_minhash"] = time.perf_counter() - t0
+    if "dedup_minhash" in legs:
+        t0 = time.perf_counter()
+        dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+        timings["dedup_minhash"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    docs.map_batches(quality_batch, batch_format="pyarrow").count()
-    timings["text_quality"] = time.perf_counter() - t0
+    if "text_quality" in legs:
+        t0 = time.perf_counter()
+        docs.map_batches(quality_batch, batch_format="pyarrow").count()
+        timings["text_quality"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    docs.map_batches(repetition_stats_batch, batch_format="pyarrow").count()
-    timings["text_repetition"] = time.perf_counter() - t0
+    if "text_repetition" in legs:
+        t0 = time.perf_counter()
+        docs.map_batches(
+            repetition_stats_batch, batch_format="pyarrow"
+        ).count()
+        timings["text_repetition"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    dedup.exact_dedup(docs).count()
-    timings["dedup_exact"] = time.perf_counter() - t0
+    if "dedup_exact" in legs:
+        t0 = time.perf_counter()
+        dedup.exact_dedup(docs).count()
+        timings["dedup_exact"] = time.perf_counter() - t0
 
     ray.shutdown()
     total = sum(timings.values())

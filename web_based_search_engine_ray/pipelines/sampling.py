@@ -110,6 +110,45 @@ def sample_fraction(ds, frac: float, *, key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, fractions: dict[str, float], *,
+                      strata_col: str, key_col: str = "doc_id",
+                      salt: str = "v1", default: float = 0.0):
+    """Per-stratum deterministic down-sample: keep each row iff its
+    hash bucket clears its stratum's fraction (strata absent from
+    ``fractions`` use ``default``).  Same hash-gate guarantees as
+    :func:`sample_fraction` — reproducible across runs and
+    parallelism, nested across fractions — applied per class, the
+    rebalancing primitive a training-mix pipeline needs (e.g. keep 10%
+    of English, 100% of low-resource languages).  One streaming
+    ``map_batches``; the fraction table is a plain broadcast-by-closure
+    dict (strata counts are human-scale)."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(
+                f"fraction for stratum {name!r} must be in [0, 1], "
+                f"got {frac}"
+            )
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    cuts = {
+        name: round(frac * SPLIT_BUCKETS)
+        for name, frac in fractions.items()
+    }
+    default_cut = round(default * SPLIT_BUCKETS)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = split_buckets(batch[key_col].to_pylist(), salt)
+        strata = batch[strata_col].to_pylist()
+        cut = np.fromiter(
+            (cuts.get(s, default_cut) for s in strata),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def sql_bucket_expr(key_sql: str, salt: str) -> str:
     """The DuckDB expression computing the SAME bucket as
     ``split_buckets`` — oracle-mirror helper (md5 hex prefix →

@@ -1,0 +1,122 @@
+"""Corpus-profiling statistics: exact distributed quantiles over
+bounded-cardinality numeric columns, and grouped corpus composition
+stats.
+
+Quantiles at 100 TB: a full ``sort`` is the textbook way to get exact
+quantiles and is an all-to-all shuffle of every row.  For the columns a
+data-quality dashboard actually profiles (doc length in chars/tokens,
+quality scores on fixed grids), the VALUE DOMAIN is tiny compared to
+the row count, so the exchange can be a value-count histogram instead:
+one streaming ``map_batches`` emits per-block ``(value, count)``
+partials (block-local combine), a ``groupby(value).sum`` merges them
+(shuffle of |distinct values| rows, not |rows|), and the driver sorts
+the distinct values and walks the cumulative counts — O(distinct)
+driver work, independent of corpus size.  A guard raises if the
+distinct count explodes past ``max_distinct`` (continuous columns
+should be profiled with a sketch, not this operator).
+
+The quantile definition is pinned so the SQL oracle can mirror it
+exactly: ``q_v = min{ v : cum_count(v) >= ceil(q * n) }`` (1-based,
+"lower value at or above the target rank" — DuckDB's
+``quantile_disc``-compatible for these inputs, but we inline the rank
+expression rather than trusting engine-version tie semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def exact_quantiles(ds, col: str, qs: list[float], *,
+                    max_distinct: int = 5_000_000) -> pd.DataFrame:
+    """Exact quantiles of ``ds[col]`` (integer-like or fixed-grid
+    column) as a DataFrame ``(q, value, n_rows)``."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile must be in (0, 1], got {q}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"value": batch[col]}).group_by("value").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "value": g["value"],
+                "n_part": g["count_all"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    t = merged.to_pandas()  # |distinct| rows — bounded by contract
+    if len(t) > max_distinct:
+        raise ValueError(
+            f"exact_quantiles: {len(t)} distinct values in {col!r} "
+            f"exceeds max_distinct={max_distinct}; use a sketch for "
+            "continuous columns"
+        )
+    t = t.sort_values("value", kind="mergesort").reset_index(drop=True)
+    cum = t["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        raise ValueError(f"exact_quantiles: no rows in column {col!r}")
+    ranks = np.ceil(np.asarray(qs, dtype=np.float64) * n).astype(np.int64)
+    idx = np.searchsorted(cum, ranks, side="left")
+    vals = t["value"].to_numpy()[idx]
+    return pd.DataFrame(
+        {
+            "q": pd.Series(qs, dtype="float64"),
+            "value": pd.Series(vals).astype(t["value"].dtype),
+            "n_rows": pd.Series([n] * len(qs), dtype="int64"),
+        }
+    )
+
+
+def corpus_stats(docs, *, by: list[str] = ("lang", "source"),
+                 size_col: str = "n_chars"):
+    """Composition profile: per group — doc count, total and mean
+    ``size_col`` (mean rounded to 6 places so fp summation order can't
+    flip the value hash vs the SQL mirror)."""
+    from ray.data.aggregate import Count, Sum
+
+    by = list(by)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in by}
+        cols["sz"] = batch[size_col]
+        g = pa.table(cols).group_by(by).aggregate(
+            [([], "count_all"), ("sz", "sum")]
+        )
+        out = {k: g[k] for k in by}
+        out["n_part"] = g["count_all"]
+        out["sz_part"] = g["sz_sum"]
+        return pa.table(out)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(
+            Sum("n_part", alias_name="n_docs"),
+            Sum("sz_part", alias_name="total_chars"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = batch["total_chars"].to_numpy(zero_copy_only=False)
+        out = {k: batch[k] for k in by}
+        out["n_docs"] = batch["n_docs"]
+        out["total_chars"] = batch["total_chars"]
+        out["avg_chars"] = pa.array(
+            np.round(tot / n, 6), type=pa.float64()
+        )
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

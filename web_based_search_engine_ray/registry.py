@@ -856,6 +856,103 @@ def q_sample_10pct(sf_dir: str):
     return sample_fraction(ds, 0.1, salt="v1")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic down-sample (training-mix
+    rebalancing: 10% en, 50% fr, 100% zh, 25% default) —
+    ``pipelines.sampling.stratified_sample``."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.sampling import (
+        stratified_sample,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        ds,
+        {"en": 0.1, "fr": 0.5, "zh": 1.0},
+        strata_col="lang",
+        salt="v1",
+        default=0.25,
+    )
+
+
+_DECON_N = 8
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any 8-gram with the
+    'benchmark' subset (every 50th doc) are flagged — broadcast
+    sorted-hash membership, no corpus shuffle
+    (``pipelines.decontaminate``)."""
+    import pyarrow as pa
+
+    from web_based_search_engine_ray.pipelines.decontaminate import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    hashes = benchmark_ngram_hashes(bench, n=_DECON_N)
+    return decontaminate(
+        docs, hashes, n=_DECON_N, action="flag"
+    ).select_columns(["doc_id", "contaminated"])
+
+
+_CHUNK_TOKENS = 16
+
+
+def q_chunk_dedup(sf_dir: str):
+    """C4-style corpus-wide chunk dedup (keep globally-first occurrence
+    of every 16-token chunk, reassemble docs) —
+    ``pipelines.chunk_dedup``."""
+    from web_based_search_engine_ray.pipelines.chunk_dedup import chunk_dedup
+
+    return chunk_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        chunk_tokens=_CHUNK_TOKENS,
+    )
+
+
+_QUANTILE_QS = [0.5, 0.9, 0.99]
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact P50/P90/P99 of doc length via the value-histogram quantile
+    operator (shuffles |distinct| rows, not |rows|) —
+    ``pipelines.stats.exact_quantiles``."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.stats import exact_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+    return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
+
+
+def q_corpus_stats(sf_dir: str):
+    """Corpus composition profile per (lang, source): doc count, total
+    and mean chars — pre-aggregated combiner + small groupby
+    (``pipelines.stats.corpus_stats``)."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.stats import corpus_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "source", "n_chars"],
+    )
+    return corpus_stats(ds)
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 4
 
@@ -921,6 +1018,11 @@ def queries():
         "media_features": q_media_features,
         "train_split": q_train_split,
         "sample_10pct": q_sample_10pct,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "chunk_dedup": q_chunk_dedup,
+        "length_quantiles": q_length_quantiles,
+        "corpus_stats": q_corpus_stats,
         "pack_docs": q_pack_docs,
     }
 
@@ -1195,6 +1297,129 @@ def _sample_10pct_sql() -> str:
 
     b = sql_bucket_expr("doc_id", "v1")
     return f"SELECT doc_id FROM documents WHERE {b} < 100000"
+
+
+def _stratified_sample_sql() -> str:
+    from web_based_search_engine_ray.pipelines.sampling import sql_bucket_expr
+
+    b = sql_bucket_expr("doc_id", "v1")
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {b} < CASE lang
+            WHEN 'en' THEN 100000
+            WHEN 'fr' THEN 500000
+            WHEN 'zh' THEN 1000000
+            ELSE 250000 END
+    """
+
+
+def _decontaminate_sql() -> str:
+    """Mirror of pipelines.decontaminate (n=8, benchmark = doc_id%50=0):
+    md5 token hashes mod 2^61-1 → per-window polynomial fold with the
+    ENGINE'S inlined constants SHINGLE_BASE^(n-1-j) mod p (each product
+    reduced mod p before the HUGEINT-safe 8-term sum) → EXISTS against
+    the benchmark subset's fold set.  Bit-identical hashes on both
+    sides, so the comparison is exact even under (2^-61) collisions."""
+    from web_based_search_engine_ray.pipelines.decontaminate import (
+        ngram_fold_constants,
+    )
+
+    n = _DECON_N
+    p = _MERSENNE61
+    cs = ngram_fold_constants(n)
+    toks = _TOKS.format(s="text")
+    fold_terms = " + ".join(
+        f"(CAST(hs[i + {j + 1}] AS HUGEINT) * {cs[j]}) % {p}"
+        for j in range(n)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lower(unnest({toks})) AS tok,
+                   unnest(range(len({toks}))) AS pos
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, pos,
+                   CAST(CAST(concat('0x', substr(md5(tok), 1, 16))
+                             AS UBIGINT) % {p} AS BIGINT) AS h
+            FROM toks
+        ),
+        dh AS (
+            SELECT doc_id, list(h ORDER BY pos) AS hs
+            FROM th GROUP BY doc_id
+        ),
+        ng AS (
+            SELECT doc_id,
+                   CAST(({fold_terms}) % {p} AS BIGINT) AS g
+            FROM dh, LATERAL (
+                SELECT unnest(range(len(hs) - {n - 1})) AS i
+            )
+            WHERE len(hs) >= {n}
+        ),
+        bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0)
+        SELECT d.doc_id,
+               EXISTS (SELECT 1 FROM ng JOIN bench USING (g)
+                       WHERE ng.doc_id = d.doc_id) AS contaminated
+        FROM documents d
+    """
+
+
+def _chunk_dedup_sql() -> str:
+    """Mirror of pipelines.chunk_dedup (16-token windows, original
+    case): first occurrence per distinct chunk in (doc_id, chunk_no)
+    order survives; docs reassemble surviving chunks in order."""
+    toks = _TOKS.format(s="text")
+    c = _CHUNK_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS term,
+                   unnest(range(len({toks}))) AS pos
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, pos // {c} AS chunk_no,
+                   string_agg(term, ' ' ORDER BY pos) AS chunk
+            FROM toks GROUP BY doc_id, pos // {c}
+        ),
+        rk AS (
+            SELECT doc_id, chunk_no, chunk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, chunk_no
+                   ) AS r
+            FROM chunks
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN r = 1 THEN chunk END,
+                                   ' ' ORDER BY chunk_no), '')
+                   AS text_clean,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM rk GROUP BY doc_id
+    """
+
+
+def _length_quantiles_sql() -> str:
+    """Mirror of pipelines.stats.exact_quantiles' pinned definition:
+    value at rank ceil(q*n) over the sorted column."""
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
+    return f"""
+        WITH vc AS (
+            SELECT n_chars AS value, COUNT(*) AS c
+            FROM documents GROUP BY n_chars
+        ),
+        cum AS (
+            SELECT value, SUM(c) OVER (ORDER BY value) AS cumc
+            FROM vc
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        qs(q) AS (VALUES {qs_rows})
+        SELECT q.q AS q,
+               (SELECT MIN(c.value) FROM cum c, tot
+                WHERE c.cumc >= CEIL(q.q * tot.n)) AS value,
+               (SELECT n FROM tot) AS n_rows
+        FROM qs q
+    """
 
 
 def _media_features_sql() -> str:
@@ -1479,6 +1704,17 @@ def oracle_sql():
         "media_features": _media_features_sql(),
         "train_split": _train_split_sql(),
         "sample_10pct": _sample_10pct_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "chunk_dedup": _chunk_dedup_sql(),
+        "length_quantiles": _length_quantiles_sql(),
+        "corpus_stats": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_chars
+            FROM documents GROUP BY lang, source
+        """,
         "pack_docs": _pack_docs_sql(),
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
