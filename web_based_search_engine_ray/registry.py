@@ -953,6 +953,32 @@ def q_corpus_stats(sf_dir: str):
     return corpus_stats(ds)
 
 
+def q_redact(sf_dir: str):
+    """PII redaction (emails/IPv4/phones → placeholders, counted) —
+    vectorized RE2 kernels, ``pipelines.redact``."""
+    from web_based_search_engine_ray.pipelines.redact import redact
+
+    return redact(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    ).select_columns(
+        ["doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone"]
+    )
+
+
+def q_lm_score(sf_dir: str):
+    """Unigram-LM quality score (CCNet-shape perplexity filter): fit
+    token counts corpus-wide, broadcast the model once, score every doc
+    in one streaming pass — ``pipelines.lm_score``."""
+    from web_based_search_engine_ray.pipelines.lm_score import (
+        fit_unigram,
+        score_unigram,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    model = fit_unigram(docs)
+    return score_unigram(docs, model)
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 4
 
@@ -1023,6 +1049,8 @@ def queries():
         "chunk_dedup": q_chunk_dedup,
         "length_quantiles": q_length_quantiles,
         "corpus_stats": q_corpus_stats,
+        "redact": q_redact,
+        "lm_score": q_lm_score,
         "pack_docs": q_pack_docs,
     }
 
@@ -1399,6 +1427,65 @@ def _chunk_dedup_sql() -> str:
     """
 
 
+def _redact_sql() -> str:
+    """Mirror of pipelines.redact: the SAME RE2 pattern text applied in
+    the SAME order (pyarrow and DuckDB both run RE2, so semantics are
+    engine-identical); counts are pre-replacement occurrences on the
+    progressively-redacted string."""
+    from web_based_search_engine_ray.pipelines.redact import PII_PATTERNS
+
+    cur = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted literals keep backslashes verbatim, so
+        # only quotes need doubling
+        esc = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{esc}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id, {cur} AS text_redacted,
+               {', '.join(counts)}
+        FROM documents
+    """
+
+
+def _lm_score_sql() -> str:
+    """Mirror of pipelines.lm_score (uncapped vocab at oracle scale):
+    Laplace unigram over corpus token counts, mean log-prob per doc.
+    (The engine keys counts by md5 token hash; a hash collision —
+    ~|V|²/2^64 — is the documented oracle tolerance, same contract as
+    the minhash band buckets.)"""
+    toks = _TOKS.format(s="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lower(unnest({toks})) AS tok FROM documents
+        ),
+        tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (
+            SELECT CAST(SUM(c) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS vocab
+            FROM tc
+        ),
+        lp AS (
+            SELECT tok, LN((c + 1.0) / (total + vocab + 1.0)) AS logp
+            FROM tc, tot
+        ),
+        ds AS (
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(lp.logp), 9) AS lm_score
+            FROM toks t JOIN lp ON t.tok = lp.tok
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(ds.n_tokens, 0) AS n_tokens,
+               COALESCE(ds.lm_score, 0.0) AS lm_score
+        FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+    """
+
+
 def _length_quantiles_sql() -> str:
     """Mirror of pipelines.stats.exact_quantiles' pinned definition:
     value at rank ceil(q*n) over the sorted column."""
@@ -1715,6 +1802,8 @@ def oracle_sql():
                        AS avg_chars
             FROM documents GROUP BY lang, source
         """,
+        "redact": _redact_sql(),
+        "lm_score": _lm_score_sql(),
         "pack_docs": _pack_docs_sql(),
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
