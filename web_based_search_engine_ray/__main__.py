@@ -6,6 +6,8 @@
     python -m web_based_search_engine_ray print  --index IDX
     python -m web_based_search_engine_ray server --index IDX [--port N]
     python -m web_based_search_engine_ray pagerank --index IDX [--iters N] [--top K]
+    python -m web_based_search_engine_ray export --sf-dir DIR --out DIR \
+        [--format parquet|jsonl] [--partition-by lang] [--no-clean]
 
 The CLI owns the Ray session (guarded init); library code never does.
 """
@@ -65,6 +67,20 @@ def main(argv=None):
     g.add_argument("--iters", type=int, default=10)
     g.add_argument("--top", type=int, default=20)
 
+    e = sub.add_parser(
+        "export",
+        help="clean the corpus (langid/quality/dedup funnel) and export "
+        "it partitioned for training",
+    )
+    e.add_argument("--sf-dir", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", choices=("parquet", "jsonl"),
+                   default="parquet")
+    e.add_argument("--partition-by", default=None,
+                   help="column for hive partitioning (e.g. lang)")
+    e.add_argument("--no-clean", action="store_true",
+                   help="export the raw corpus without the clean funnel")
+
     args = p.parse_args(argv)
     ray = _ray()
     try:
@@ -118,6 +134,47 @@ def main(argv=None):
             from web_based_search_engine_ray.pipelines.server import serve
 
             serve(args.index, port=args.port)
+        elif args.cmd == "export":
+            import numpy as np
+            import pyarrow as pa
+            import ray.data as rd
+
+            from web_based_search_engine_ray.pipelines.export import (
+                export_dataset,
+            )
+
+            docs = rd.read_parquet(f"{args.sf_dir}/documents.parquet")
+            if not args.no_clean:
+                from web_based_search_engine_ray.pipelines.clean import (
+                    clean_corpus,
+                )
+
+                kept, funnel = clean_corpus(
+                    docs.select_columns(["doc_id", "text"])
+                )
+                print(json.dumps({"funnel": funnel}, indent=1),
+                      file=sys.stderr)
+                # broadcast semi-join of kept ids (sorted array via
+                # ray.put; at 10^12 docs this becomes the hash
+                # semi-join — CLI exports are the small end)
+                ids = np.sort(
+                    kept.to_pandas()["doc_id"].to_numpy()
+                )
+                ids_ref = ray.put(ids)
+
+                def keep_only(b: pa.Table) -> pa.Table:
+                    arr = ray.get(ids_ref)
+                    d = b["doc_id"].to_numpy(zero_copy_only=False)
+                    return b.filter(pa.array(np.isin(d, arr)))
+
+                docs = docs.map_batches(keep_only, batch_format="pyarrow")
+            manifest = export_dataset(
+                docs,
+                args.out,
+                fmt=args.format,
+                partition_col=args.partition_by,
+            )
+            print(json.dumps(manifest, indent=1))
         elif args.cmd == "pagerank":
             import os
 
