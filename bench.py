@@ -327,8 +327,18 @@ def run_dataops() -> dict:
             {"doc_id": b["doc_id"], "text": pa.array(out, type=pa.string())}
         )
 
-    # fixed, already-in-object-store input: the legs time the operators
-    docs = docs.map_batches(scramble, batch_format="pyarrow").materialize()
+    # fixed, already-in-object-store input: the legs time the operators.
+    # Repartition to a FIXED block count well above the highest
+    # parallelism level: the cached read yields ~30 blocks, which makes
+    # every map leg a 33-task job — at 32 CPUs that is two waves with a
+    # one-task straggler wave (a ~0.5 efficiency ceiling measuring task
+    # granularity, not the operator).  256 blocks ≈ 8 tasks per CPU at
+    # 32 CPUs; identical input structure at both levels.
+    docs = (
+        docs.map_batches(scramble, batch_format="pyarrow")
+        .repartition(256)
+        .materialize()
+    )
     n_docs = docs.count()
 
     if "dedup_minhash" in legs:

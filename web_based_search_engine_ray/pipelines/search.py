@@ -659,6 +659,161 @@ class Searcher:
             acc[reset] = 0.0
             touched[reset] = False
 
+    #: posting-entries per block for the WAND traversal's block maxima
+    WAND_BLOCK = 1024
+
+    def scores_topk_wand(self, words, k: int, mode: str = "ref"):
+        """DAAT **Block-Max WAND** top-k with a bounded min-heap — the
+        north-star traversal (Broder et al. WAND; Ding & Suel
+        block-max), implemented over the decoded per-term partial
+        arrays: document-at-a-time cursors, pivot selection by
+        cumulative term upper bounds, a per-block maximum refinement
+        before full evaluation, and a k-bounded min-heap whose root is
+        the pruning threshold θ.
+
+        Exactness / rank identity with the TAAT engine
+        (:meth:`scores_arrays` + ``_topk_indices``):
+
+        - per-doc score is the SAME left fold in sorted-term order over
+          the SAME cached partials, so equal docs produce bitwise-equal
+          floats on both paths;
+        - bounds are sums of per-term (or per-block) maxima folded in
+          the same term order, ≥ the true fold by IEEE rounding
+          monotonicity, so a skip is always rank-safe;
+        - the heap orders by ``(score, -doc_id)`` — exactly the
+          ``(score desc, doc asc)`` tie-break of ``_topk_indices``;
+          a candidate is skipped only when its upper-bound KEY is
+          strictly below the root's key, so boundary ties resolve
+          identically.
+
+        Engineering note (why TAAT stays the default): the pivot walk
+        is a per-document Python loop; on this runtime the vectorized
+        TAAT MaxScore path (block-max restricted decode + dense
+        accumulation) is faster by an order of magnitude at shard
+        scale, which is why it is the production scorer.  This method
+        completes the traversal-parity surface and is the drop-in spot
+        for a compiled kernel.  Multi-doc block skipping (jumping to
+        the min block boundary) is left out: it only accelerates the
+        Python loop this method deliberately doesn't optimize.
+
+        Degenerate-norm corpora (the reference's NaN case) have no
+        usable bounds: falls back to the exhaustive scorer + exact
+        top-k (same results, no pruning).
+        """
+        import heapq
+
+        if not k or k <= 0:
+            raise ValueError("scores_topk_wand needs k >= 1")
+        empty = (np.empty(0, dtype=np.int64),
+                 np.empty(0, dtype=np.float64))
+        terms = {w for w in (self.stem_query_word(x) for x in words) if w}
+        entries = []
+        for t in sorted(terms):
+            e = self._lex_entry(t)
+            if e is not None and e[0] > 0:
+                entries.append((t, e[0]))
+        if not entries:
+            return empty
+        bm25 = mode == "bm25"
+        if bm25 and self._n_tokens is None:
+            raise ValueError(
+                "bm25 scoring needs the n_tokens docstats column "
+                "(rebuild the index with format >= v4)"
+            )
+        if not bm25 and not self._can_prune:
+            ids, vals = self.scores_arrays(words, k=k, prune=False,
+                                           mode=mode)
+            top = _topk_indices(ids, vals, k)
+            return ids[top], vals[top]
+
+        bs = self.WAND_BLOCK
+        # cursor state per term: [cursor, doc_ids, partials, block_max,
+        # term_ub, term_order] — partials come from the same cache the
+        # TAAT path uses (dense images are re-sparsified zero-copy-ish)
+        lists = []
+        for ti, (term, df) in enumerate(entries):
+            tp = (self._term_partial_bm25(term, df) if bm25
+                  else self._term_partial(term, df))
+            if tp is None:
+                continue
+            if tp[3] is not None:
+                mask = tp[4]
+                ids_t = self._stat_ids[mask]
+                part = tp[3][mask]
+            else:
+                ids_t, part = tp[0], tp[1]
+            n = len(ids_t)
+            if n == 0:
+                continue
+            bmax = np.maximum.reduceat(part, np.arange(0, n, bs))
+            lists.append([0, ids_t, part, bmax, float(part.max()), ti])
+        if not lists:
+            return empty
+
+        inv_norm_bound = 1.0 if bm25 else 1.0 / self._min_norm
+        heap: list[tuple[float, int]] = []  # (score, -doc): root = worst
+        while True:
+            live = [L for L in lists if L[0] < len(L[1])]
+            if not live:
+                break
+            live.sort(key=lambda L: L[1][L[0]])
+            theta = heap[0] if len(heap) >= k else None
+            # WAND pivot: first cursor where the cumulative ub (term
+            # order, same fold as scoring) could still beat θ
+            pivot = None
+            cum = 0.0
+            for i, L in enumerate(live):
+                cum += L[4]
+                if theta is None or cum * inv_norm_bound >= theta[0]:
+                    pivot = i
+                    break
+            if pivot is None:
+                break
+            pl = live[pivot]
+            pivot_doc = int(pl[1][pl[0]])
+            if int(live[0][1][live[0][0]]) == pivot_doc:
+                # aligned: every list at pivot_doc is the sorted prefix
+                at = []
+                for L in live:
+                    if L[0] < len(L[1]) and int(L[1][L[0]]) == pivot_doc:
+                        at.append(L)
+                    else:
+                        break
+                at.sort(key=lambda L: L[5])  # term order for fp identity
+                if bm25:
+                    nv = 1.0
+                else:
+                    pos = int(np.searchsorted(self._stat_ids, pivot_doc))
+                    nv = float(self._norm[pos])
+                blockub = 0.0
+                for L in at:
+                    blockub += float(L[3][L[0] // bs])
+                bound_key = (blockub / nv, -pivot_doc)
+                if theta is None or bound_key > theta:
+                    s = 0.0
+                    for L in at:
+                        s += float(L[2][L[0]])
+                    key = (s / nv, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, key)
+                    elif key > heap[0]:
+                        heapq.heapreplace(heap, key)
+                for L in at:
+                    L[0] += 1
+            else:
+                # advance every list before the pivot to >= pivot_doc
+                for L in live[:pivot]:
+                    c = L[0]
+                    L[0] = c + int(
+                        np.searchsorted(L[1][c:], pivot_doc, side="left")
+                    )
+        if not heap:
+            return empty
+        heap.sort(reverse=True)  # (score desc, doc asc)
+        out_ids = np.array([-d for _, d in heap], dtype=np.int64)
+        out_vals = np.array([s for s, _ in heap], dtype=np.float64)
+        return out_ids, out_vals
+
     # ----------------------------------------------------------------- phrase
     def phrase_doc_array(self, phrase: list[str]) -> np.ndarray:
         """Left-fold positional merge (non-associative, order preserved —
@@ -709,9 +864,22 @@ class Searcher:
         hydrate: bool = True,
         prune: bool = False,
         mode: str = "ref",
+        traversal: str = "taat",
     ) -> pd.DataFrame:
+        """``traversal="wand"`` routes plain top-k queries through the
+        DAAT Block-Max WAND walk (:meth:`scores_topk_wand`, rank- and
+        bitwise-identical); phrase queries always use the TAAT path
+        (the phrase semi-join needs the full OR-merge candidate set)."""
+        if traversal not in ("taat", "wand"):
+            raise ValueError(f"unknown traversal {traversal!r}")
         k = k if k is not None else self.cfg.max_results
         phrase = phrase or []
+        if traversal == "wand" and not phrase and k:
+            ids, vals = self.scores_topk_wand(words, k=k, mode=mode)
+            df = pd.DataFrame({"doc_id": ids, "score": vals})
+            if not len(df):
+                return _empty_results(hydrate)
+            return self.hydrate(df) if hydrate else df
         # pruning is rank-safe only for a plain top-k (a phrase semi-join
         # could promote below-threshold docs into the final top-k)
         ids, vals = self.scores_arrays(
