@@ -270,7 +270,13 @@ def run_dataops() -> dict:
     operators over a repeat-expanded (doc_id, text) corpus — the
     column-pruned read skips the html payload.  Used by
     ``--scaling-dataops`` to evidence the two-parallelism criterion for
-    the dedup/text tier, not just build+search."""
+    the dedup/text tier, not just build+search.
+
+    ``GRAFT_DATAOPS_LEGS`` (comma list) selects legs: the MinHash leg
+    dominates the default mix ~40:1, so measuring the light legs
+    compute-bound needs a corpus the MinHash leg would make impractical
+    — the scaling protocol records the heavy leg and the light legs
+    from separate right-sized runs."""
     import ray
 
     _init_session()
