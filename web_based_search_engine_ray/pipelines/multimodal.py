@@ -1,15 +1,20 @@
 """Multimodal column plumbing (binary payloads + typed metadata).
 
 Image/audio/video payloads are opaque ``binary`` columns processed by
-actor-pool ``map_batches`` stages.  The decode libraries (PIL,
-torchaudio, ffmpeg) are NOT in this container, so the codec layer is a
-PLUGGABLE DECODER REGISTRY with two built-ins:
+actor-pool ``map_batches`` stages.  The compressed-codec libraries
+(PIL, torchaudio, ffmpeg) are NOT in this container, so the codec
+layer is a PLUGGABLE DECODER REGISTRY with four built-ins:
 
-- ``"fake"`` (default): a deterministic md5-seeded fake decoder so the
-  Ray-side plumbing — schema, batch sizing, actor state, output
-  layout — is real and testable end-to-end;
-- ``"strict"``: raises ``NotImplementedError`` at decode time, which is
-  what production hits until a real codec is registered.
+- ``"pnm"``: a REAL image decoder (binary PPM/PGM — header parse +
+  zero-copy pixel view + luma-histogram features, stdlib + numpy
+  only);
+- ``"wav"``: a REAL audio decoder (RIFF/WAV 16-bit PCM via stdlib
+  ``wave`` — channels/rate/duration/RMS + envelope features);
+- ``"fake"`` (default for the SQL-mirrored bench query): a
+  deterministic md5-seeded pseudo-decoder, kept because its output is
+  exactly reproducible in DuckDB for the oracle contract;
+- ``"strict"``: raises ``NotImplementedError`` at decode time — the
+  honest production boundary for formats needing an external codec.
 
 Wiring a real codec needs NO edits to this stage::
 
@@ -111,8 +116,136 @@ class StrictDecoder:
         )
 
 
+class PnmDecoder:
+    """REAL image decoder for binary PPM (``P6``) / PGM (``P5``)
+    payloads — pure stdlib + numpy (no codec library needed): header
+    parse, ``np.frombuffer`` pixel view, and a 16-bin normalized luma
+    histogram as the feature vector.  Demonstrates that the registry
+    seam carries an actual decoder, not only the fake; PIL-backed JPEG
+    decode drops into the identical shape."""
+
+    schema = [
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("mean_luma", pa.float64()),
+        ("features", pa.list_(pa.float32())),
+    ]
+
+    @staticmethod
+    def _parse_header(p: bytes):
+        """(magic, width, height, maxval, data_offset) — PNM headers
+        are whitespace-separated ASCII tokens with ``#`` comments."""
+        if p[:2] not in (b"P5", b"P6"):
+            raise ValueError(f"not a binary PGM/PPM payload: {p[:2]!r}")
+        tokens, i, n = [], 2, len(p)
+        while len(tokens) < 3:
+            while i < n and p[i:i + 1].isspace():
+                i += 1
+            if i < n and p[i:i + 1] == b"#":
+                while i < n and p[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < n and not p[j:j + 1].isspace():
+                j += 1
+            if j == i:
+                raise ValueError("truncated PNM header")
+            tokens.append(int(p[i:j]))
+            i = j
+        i += 1  # single whitespace byte after maxval, then raster
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        return p[:2], w, h, maxval, i
+
+    def decode_batch(self, payloads: list[bytes]) -> dict[str, pa.Array]:
+        ws, hs, cs, lumas, feats = [], [], [], [], []
+        for p in payloads:
+            magic, w, h, _maxval, off = self._parse_header(p)
+            ch = 3 if magic == b"P6" else 1
+            need = w * h * ch
+            px = np.frombuffer(p, dtype=np.uint8, count=need, offset=off)
+            if ch == 3:
+                rgb = px.reshape(-1, 3).astype(np.float64)
+                luma = (
+                    0.299 * rgb[:, 0] + 0.587 * rgb[:, 1]
+                    + 0.114 * rgb[:, 2]
+                )
+            else:
+                luma = px.astype(np.float64)
+            hist, _ = np.histogram(luma, bins=FEATURE_DIM,
+                                   range=(0.0, 256.0))
+            tot = max(1, int(hist.sum()))
+            ws.append(w)
+            hs.append(h)
+            cs.append(ch)
+            lumas.append(float(luma.mean()) if luma.size else 0.0)
+            feats.append((hist / tot).astype(np.float32).tolist())
+        return {
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "channels": pa.array(cs, type=pa.int32()),
+            "mean_luma": pa.array(lumas, type=pa.float64()),
+            "features": pa.array(feats, type=pa.list_(pa.float32())),
+        }
+
+
+class WavDecoder:
+    """REAL audio decoder for RIFF/WAV payloads — stdlib ``wave`` over
+    a bytes buffer + numpy sample math (16-bit PCM): channel count,
+    sample rate, duration, RMS amplitude, and a coarse 16-bin |sample|
+    envelope as the feature vector."""
+
+    schema = [
+        ("n_channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("duration_s", pa.float64()),
+        ("rms", pa.float64()),
+        ("features", pa.list_(pa.float32())),
+    ]
+
+    def __init__(self):
+        import io
+        import wave
+
+        self._io = io
+        self._wave = wave
+
+    def decode_batch(self, payloads: list[bytes]) -> dict[str, pa.Array]:
+        nch, rate, dur, rms, feats = [], [], [], [], []
+        for p in payloads:
+            with self._wave.open(self._io.BytesIO(p), "rb") as w:
+                c = w.getnchannels()
+                r = w.getframerate()
+                nf = w.getnframes()
+                if w.getsampwidth() != 2:
+                    raise ValueError("only 16-bit PCM WAV supported")
+                raw = w.readframes(nf)
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            nch.append(c)
+            rate.append(r)
+            dur.append(nf / r if r else 0.0)
+            rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+            if x.size:
+                seg = np.array_split(np.abs(x), FEATURE_DIM)
+                env = np.array([s.mean() if s.size else 0.0 for s in seg])
+            else:
+                env = np.zeros(FEATURE_DIM)
+            feats.append(env.astype(np.float32).tolist())
+        return {
+            "n_channels": pa.array(nch, type=pa.int32()),
+            "sample_rate": pa.array(rate, type=pa.int32()),
+            "duration_s": pa.array(dur, type=pa.float64()),
+            "rms": pa.array(rms, type=pa.float64()),
+            "features": pa.array(feats, type=pa.list_(pa.float32())),
+        }
+
+
 register_decoder("fake", FakeDecoder)
 register_decoder("strict", StrictDecoder)
+register_decoder("pnm", PnmDecoder)
+register_decoder("wav", WavDecoder)
 
 
 class MediaFeatureExtractor:

@@ -979,6 +979,74 @@ def q_lm_score(sf_dir: str):
     return score_unigram(docs, model)
 
 
+_PNM_W = 16
+_PNM_H = 16
+
+
+def q_media_real(sf_dir: str):
+    """REAL image decode through the registry seam: a deterministic
+    binary PGM gradient is synthesized per doc (payload byte i =
+    ``(doc_id + i) % 256``), decoded by the stdlib ``pnm`` decoder in
+    the actor-pool media pipeline, and the decoded luma math is
+    mirrored closed-form in SQL."""
+    import pyarrow as pa
+
+    from web_based_search_engine_ray.pipelines.multimodal import (
+        media_pipeline,
+    )
+
+    w, h = _PNM_W, _PNM_H
+    header = b"P5 %d %d 255\n" % (w, h)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        base = np.arange(w * h, dtype=np.int64)
+        payloads = [
+            header + ((int(i) + base) % 256).astype(np.uint8).tobytes()
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    media = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = media_pipeline(media, decoder="pnm", batch_size=64)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.compute.cast(batch["width"], pa.int64()),
+                "height": pa.compute.cast(batch["height"], pa.int64()),
+                "channels": pa.compute.cast(
+                    batch["channels"], pa.int64()
+                ),
+                "mean_luma": pa.compute.round(
+                    batch["mean_luma"], ndigits=9
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _media_real_sql() -> str:
+    n = _PNM_W * _PNM_H
+    return f"""
+        SELECT doc_id,
+               {_PNM_W} AS width, {_PNM_H} AS height, 1 AS channels,
+               ROUND((SELECT AVG(CAST((doc_id + i) % 256 AS DOUBLE))
+                      FROM (SELECT unnest(range({n})) AS i)), 9)
+                   AS mean_luma
+        FROM documents
+    """
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 4
 
@@ -1042,6 +1110,7 @@ def queries():
         "lineitem_agg": q_lineitem_agg,
         "orders_join": q_orders_join,
         "media_features": q_media_features,
+        "media_real": q_media_real,
         "train_split": q_train_split,
         "sample_10pct": q_sample_10pct,
         "stratified_sample": q_stratified_sample,
@@ -1789,6 +1858,7 @@ def oracle_sql():
             WHERE doc_id NOT IN (SELECT node FROM dropped)
         """,
         "media_features": _media_features_sql(),
+        "media_real": _media_real_sql(),
         "train_split": _train_split_sql(),
         "sample_10pct": _sample_10pct_sql(),
         "stratified_sample": _stratified_sample_sql(),
