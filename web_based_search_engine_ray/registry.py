@@ -35,6 +35,9 @@ _TOKS = (
     "list_filter(string_split_regex({s}, '[^a-zA-Z0-9_-]+'), x -> x <> '')"
 )
 
+#: body-token list expression (f-string shorthand for oracles)
+_TT_TOKS = _TOKS.format(s="text")
+
 _BODY_TOKENS = f"""
     SELECT doc_id, lower(unnest({_TOKS.format(s='text')})) AS term,
            unnest(range(len({_TOKS.format(s='text')}))) AS pos
@@ -979,6 +982,47 @@ def q_lm_score(sf_dir: str):
     return score_unigram(docs, model)
 
 
+def q_top_terms_per_lang(sf_dir: str):
+    """Top-5 tokens per language (combiner + small groupby + per-group
+    top-k) — ``pipelines.profile.top_terms_per_group``."""
+    from web_based_search_engine_ray.pipelines.profile import (
+        top_terms_per_group,
+    )
+
+    return top_terms_per_group(
+        _docs(sf_dir).select_columns(["lang", "text"]), group_col="lang",
+        k=5,
+    )
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate profile (md5 distinctness, unique
+    (group, hash) combiner) — ``pipelines.profile.dup_rate_by_group``."""
+    from web_based_search_engine_ray.pipelines.profile import (
+        dup_rate_by_group,
+    )
+
+    return dup_rate_by_group(
+        _docs(sf_dir).select_columns(["source", "text"])
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in long form (per-batch vector-sum
+    combiner; the shuffle carries |labels|×dim partials) —
+    ``pipelines.profile.label_centroids``."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.profile import (
+        label_centroids,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_centroids(ds)
+
+
 _PNM_W = 16
 _PNM_H = 16
 
@@ -1111,6 +1155,9 @@ def queries():
         "orders_join": q_orders_join,
         "media_features": q_media_features,
         "media_real": q_media_real,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "label_centroids": q_label_centroids,
         "train_split": q_train_split,
         "sample_10pct": q_sample_10pct,
         "stratified_sample": q_stratified_sample,
@@ -1859,6 +1906,42 @@ def oracle_sql():
         """,
         "media_features": _media_features_sql(),
         "media_real": _media_real_sql(),
+        "top_terms_per_lang": f"""
+            WITH toks AS (
+                SELECT lang, lower(unnest({_TT_TOKS})) AS term
+                FROM documents
+            ),
+            tc AS (
+                SELECT lang, term, COUNT(*) AS n
+                FROM toks GROUP BY lang, term
+            ),
+            rk AS (
+                SELECT lang, term, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY n DESC, term ASC
+                       ) AS r
+                FROM tc
+            )
+            SELECT lang, term, n FROM rk WHERE r <= 5
+        """,
+        "dup_rate_by_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_unique,
+                   ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+                         / COUNT(*), 9) AS dup_rate
+            FROM documents GROUP BY source
+        """,
+        "label_centroids": """
+            WITH flat AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT label, dim,
+                   ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+            FROM flat GROUP BY label, dim
+        """,
         "train_split": _train_split_sql(),
         "sample_10pct": _sample_10pct_sql(),
         "stratified_sample": _stratified_sample_sql(),
