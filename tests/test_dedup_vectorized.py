@@ -274,3 +274,124 @@ def test_connected_components_high_ids_no_sentinel_collapse(ray_session):
     ))
     kept = dedup_keep_min(docs, pairs).to_pandas()
     assert sorted(kept["doc_id"]) == sorted(a)
+
+
+def test_keep_mask_vectorized_million_ids():
+    """Finalize filter must be numpy-vectorized: 1e6 drop ids against
+    1e6 batch ids completes via one sorted np.isin (no Python-set
+    membership loop — the old path took ~60 B/id and a per-row
+    interpreter call)."""
+    import time
+
+    from web_based_search_engine_ray.pipelines.dedup import _keep_mask
+
+    rng = np.random.default_rng(7)
+    gone = np.unique(rng.integers(0, 4_000_000, size=1_200_000))
+    assert len(gone) >= 1_000_000
+    ids = rng.integers(0, 4_000_000, size=1_000_000)
+    t0 = time.perf_counter()
+    mask = _keep_mask(ids, gone)
+    wall = time.perf_counter() - t0
+    # exact semantics on a sample
+    samp = rng.choice(len(ids), size=500, replace=False)
+    gset = set(gone.tolist())
+    for i in samp:
+        assert mask[i] == (int(ids[i]) not in gset)
+    # 1e6x1e6 np.isin is ~100ms-class; a Python loop is ~10s-class
+    assert wall < 5.0
+    assert _keep_mask(ids, np.empty(0, dtype=np.int64)).all()
+
+
+def test_keep_min_anti_join_path_matches_broadcast(ray_session, tmp_path):
+    """broadcast_limit=0 forces the bucketed anti-join shuffle; the
+    survivor set must be identical to the broadcast path."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import dedup_keep_min
+
+    rng = np.random.default_rng(3)
+    n = 400
+    docs = rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(n)]),
+        }
+    ))
+    a = rng.integers(0, n, size=150)
+    b = rng.integers(0, n, size=150)
+    keep = a != b
+    pairs = rd.from_arrow(pa.table(
+        {
+            "doc_a": pa.array(np.minimum(a, b)[keep], type=pa.int64()),
+            "doc_b": pa.array(np.maximum(a, b)[keep], type=pa.int64()),
+        }
+    ))
+    bc = sorted(dedup_keep_min(docs, pairs).to_pandas()["doc_id"])
+    aj = sorted(
+        dedup_keep_min(
+            docs, pairs, broadcast_limit=0, n_buckets=8,
+            spill_dir=str(tmp_path / "km"),
+        ).to_pandas()["doc_id"]
+    )
+    assert bc == aj
+    assert len(bc) < n  # something was actually dropped
+
+
+def test_embedding_exact_pairs_guard(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        embedding_dup_pairs_exact,
+    )
+
+    ds = rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array(np.arange(50), type=pa.int64()),
+            "embedding": pa.array(
+                np.eye(50, 4)[:, :4].tolist(), type=pa.list_(pa.float32())
+            ),
+        }
+    ))
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_dup_pairs_exact(ds, max_vectors=10)
+    # under the cap it still runs
+    out = embedding_dup_pairs_exact(ds, threshold=0.99).to_pandas()
+    if len(out):
+        assert (out["vec_a"] < out["vec_b"]).all()
+
+
+def test_embedding_matrix_zero_copy_helper():
+    from web_based_search_engine_ray.util import embedding_matrix
+
+    a = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32()))
+    m = embedding_matrix(a)
+    assert m.shape == (2, 2) and m.dtype == np.float64
+    assert m[1, 0] == 3.0
+    # sliced window and chunked input
+    assert embedding_matrix(a.slice(1, 1))[0, 1] == 4.0
+    assert embedding_matrix(pa.chunked_array([a, a])).shape == (4, 2)
+    with pytest.raises(ValueError, match="non-uniform"):
+        embedding_matrix(pa.array([[1.0], [1.0, 2.0]],
+                                  type=pa.list_(pa.float32())))
+
+
+def test_ivf_auto_scale_clusters(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.similarity import IvfIndex
+
+    rng = np.random.default_rng(11)
+    n = 900
+    ds = rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(
+                rng.normal(size=(n, 8)).tolist(), type=pa.list_(pa.float32())
+            ),
+        }
+    ))
+    idx = IvfIndex(iters=2)  # n_clusters=None -> auto
+    idx.fit(ds)
+    assert idx.n_clusters == 30  # round(sqrt(900))
+    res = idx.search(rng.normal(size=(2, 8)), k=5, nprobe=4)
+    assert len(res) == 10

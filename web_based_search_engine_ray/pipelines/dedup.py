@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
-from web_based_search_engine_ray.util import coalesce
+from web_based_search_engine_ray.util import coalesce, embedding_matrix
 
 logger = logging.getLogger(__name__)
 
@@ -665,7 +665,7 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
     def add_buckets(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch["embedding"])
         n = len(emb)
         if n == 0:
             return pa.table(
@@ -719,7 +719,7 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 8,
         multi = (sizes >= 2) & ~capped
         if not multi.any():
             return empty
-        emb = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(group["embedding"])
         nrm = np.linalg.norm(emb, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         emb = emb / nrm
@@ -984,38 +984,136 @@ def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
     )
 
 
-def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id"):
+def _keep_mask(ids: np.ndarray, gone: np.ndarray) -> np.ndarray:
+    """Vectorized survivor mask: True where ``ids`` is NOT in the
+    sorted ``gone`` array.  ``np.isin`` sorts/merges in C — no Python
+    set, no per-row interpreter loop (the pattern used by
+    ``decontaminate.py``)."""
+    if len(gone) == 0:
+        return np.ones(len(ids), dtype=bool)
+    return ~np.isin(ids, gone)
+
+
+def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
+                   broadcast_limit: int = 20_000_000,
+                   n_buckets: int = 64,
+                   spill_dir: str | None = None):
     """End-to-end fuzzy dedup: given near-dup ``pairs`` (from any of
     the pair generators), keep only the minimum-id member of every
-    connected component.  Docs in no pair survive untouched.  The
-    drop set (component members above the root) is broadcast — it is
-    bounded by the duplicate count, not the corpus."""
+    connected component.  Docs in no pair survive untouched.
+
+    The drop set (component members above the root) is bounded by the
+    duplicate count, not the corpus.  Two finalize strategies:
+
+    - ``|drop| <= broadcast_limit`` (default 2e7 ids ≈ 160 MB): the
+      ids are collected as ONE sorted contiguous int64 numpy array,
+      ``ray.put`` once, and every batch filters with ``np.isin`` —
+      zero Python-object overhead (~8 B/id vs ~60 B/id for a set).
+    - above the limit (billions of dups at 100 TB): a bucketed
+      anti-join — drop ids are hive-partitioned by ``id % n_buckets``
+      to ``spill_dir``, the corpus is shuffled once by the same
+      bucket, and each group task reads ONLY its bucket's id file
+      (task-side discovery; the full drop set never centralizes)."""
     import ray
 
-    comp = connected_components(pairs).to_pandas()
-    drop = set(
-        comp.loc[comp["node"] != comp["component"], "node"].tolist()
-    )
-    ref = ray.put(drop)
+    comp = connected_components(pairs)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        gone = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            (int(i) not in gone for i in ids), dtype=bool, count=len(ids)
+    def _drops(b: pa.Table) -> pa.Table:
+        d = b.filter(pc.invert(pc.equal(b["node"], b["component"])))
+        return pa.table(
+            {"drop_id": pc.cast(d["node"], pa.int64())}
         )
-        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    drop_ds = comp.map_batches(_drops, batch_format="pyarrow")
+    n_drop = drop_ds.count()
+
+    if n_drop <= broadcast_limit:
+        parts = [
+            b["drop_id"].to_numpy(zero_copy_only=False)
+            for b in drop_ds.iter_batches(batch_format="pyarrow")
+        ]
+        gone = (
+            np.unique(np.concatenate(parts))
+            if parts else np.empty(0, dtype=np.int64)
+        )
+        ref = ray.put(np.ascontiguousarray(gone))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            g = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            return batch.filter(pa.array(_keep_mask(ids, g)))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # ---- bucketed anti-join path (drop set too big to broadcast) ----
+    import os
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    spill = spill_dir or tempfile.mkdtemp(prefix="keepmin_", dir="/tmp")
+
+    def _bucket_drop(b: pa.Table) -> pa.Table:
+        ids = b["drop_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__km_bucket", pa.array(ids % n_buckets, type=pa.int64())
+        )
+
+    drop_ds.map_batches(
+        _bucket_drop, batch_format="pyarrow"
+    ).write_parquet(spill, partition_cols=["__km_bucket"])
+
+    def _bucket_docs(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        return b.append_column(
+            "__km_bucket", pa.array(ids % n_buckets, type=pa.int64())
+        )
+
+    def _anti(group: pa.Table) -> pa.Table:
+        bkt = int(group["__km_bucket"][0].as_py())
+        out = group.drop_columns(["__km_bucket"])
+        part = os.path.join(spill, f"__km_bucket={bkt}")
+        if not os.path.isdir(part):
+            return out
+        g = np.unique(
+            pads.dataset(part, format="parquet")
+            .to_table(columns=["drop_id"])["drop_id"]
+            .to_numpy(zero_copy_only=False)
+        )
+        ids = out[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        return out.filter(pa.array(_keep_mask(ids, g)))
+
+    return (
+        ds.map_batches(_bucket_docs, batch_format="pyarrow")
+        .groupby("__km_bucket")
+        .map_groups(_anti, batch_format="pyarrow")
+    )
 
 
-def embedding_dup_pairs_exact(ds, *, threshold: float = 0.98):
+def embedding_dup_pairs_exact(ds, *, threshold: float = 0.98,
+                              max_vectors: int = 100_000):
     """Exact cosine ≥ τ pairs: normalized matrix broadcast via ray.put,
     per-batch matmul against the full matrix (upper triangle kept).
-    O(n²) flops but vectorized; fine to ~10^5 vectors.  At larger scale
-    use the IVF/LSH candidates path."""
+    O(n²) flops but vectorized; fine to ~10^5 vectors.  The bound is
+    ENFORCED — above ``max_vectors`` this raises and points at the
+    bucketed scale paths instead of silently attempting an n² matmul."""
     import ray
 
+    n_vec = ds.count()
+    if n_vec > max_vectors:
+        raise ValueError(
+            f"embedding_dup_pairs_exact is O(n^2) and capped at "
+            f"max_vectors={max_vectors} (got {n_vec}); use "
+            f"embedding_dup_pairs (LSH-bucketed) or IvfIndex "
+            f"candidates for corpora this size, or raise max_vectors "
+            f"explicitly if you accept the cost"
+        )
     mat_tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
     ids_all = mat_tbl["vec_id"].to_numpy()
     m = np.asarray(mat_tbl["embedding"].tolist(), dtype=np.float64)
@@ -1027,7 +1125,7 @@ def embedding_dup_pairs_exact(ds, *, threshold: float = 0.98):
     def pairs(batch: pa.Table) -> pa.Table:
         ids_a, mat = ray.get(ref)
         ids_b = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch["embedding"])
         n = np.linalg.norm(emb, axis=1, keepdims=True)
         n[n == 0] = 1.0
         emb = emb / n

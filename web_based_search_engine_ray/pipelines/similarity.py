@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from web_based_search_engine_ray.util import embedding_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -33,7 +35,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
     def block_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        emb = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        emb = _normalize(embedding_matrix(batch["embedding"]))
         sim = qm @ emb.T  # (nq, nb)
         nq, nb = sim.shape
         kk = min(k, nb)
@@ -78,8 +80,10 @@ class IvfIndex:
     cosine within probed clusters.
     """
 
-    def __init__(self, n_clusters: int = 16, iters: int = 5, seed: int = 42,
-                 store_dir: str | None = None):
+    def __init__(self, n_clusters: int | None = None, iters: int = 5,
+                 seed: int = 42, store_dir: str | None = None):
+        #: None → auto-scale at fit() time to ~sqrt(n) (the standard
+        #: IVF sizing rule), clamped to [16, 65536]
         self.n_clusters = n_clusters
         self.iters = iters
         self.seed = seed
@@ -90,8 +94,13 @@ class IvfIndex:
     def fit(self, ds):
         import ray
 
+        n_total = ds.count()
+        if self.n_clusters is None:
+            self.n_clusters = int(
+                min(65536, max(16, round(n_total ** 0.5)))
+            )
         sample = ds.random_sample(
-            min(1.0, (self.n_clusters * 32) / max(1, ds.count())), seed=self.seed
+            min(1.0, (self.n_clusters * 32) / max(1, n_total)), seed=self.seed
         ).to_pandas()
         m = _normalize(np.asarray(sample["embedding"].tolist(), dtype=np.float64))
         rng = np.random.default_rng(self.seed)
@@ -104,7 +113,7 @@ class IvfIndex:
             def partial(batch: pa.Table) -> pa.Table:
                 c = ray.get(cref)
                 emb = _normalize(
-                    np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+                    embedding_matrix(batch["embedding"])
                 )
                 assign = np.argmax(emb @ c.T, axis=1)
                 dim = emb.shape[1]
@@ -119,13 +128,19 @@ class IvfIndex:
                     }
                 )
 
-            parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            parts = pa.concat_tables(
+                ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            )
             dim = cents.shape[1]
+            cl = parts["cluster"].to_numpy(zero_copy_only=False)
             sums = np.zeros((len(cents), dim))
-            counts = np.zeros(len(cents))
-            for _, r in parts.iterrows():
-                sums[int(r["cluster"])] += np.asarray(r["sum"])
-                counts[int(r["cluster"])] += r["count"]
+            np.add.at(sums, cl, embedding_matrix(parts["sum"]))
+            counts = np.bincount(
+                cl,
+                weights=parts["count"].to_numpy(zero_copy_only=False),
+                minlength=len(cents),
+            )
             nonzero = counts > 0
             cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
         self.centroids = cents
@@ -135,7 +150,7 @@ class IvfIndex:
         def assign(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
             emb = _normalize(
-                np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+                embedding_matrix(batch["embedding"])
             )
             a = np.argmax(emb @ c.T, axis=1)
             return batch.append_column("cluster", pa.array(a, type=pa.int64()))
@@ -181,8 +196,7 @@ class IvfIndex:
                 columns=["vec_id", "embedding"]
             )
             ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            emb = _normalize(np.asarray(t["embedding"].to_pylist(),
-                                        dtype=np.float64))
+            emb = _normalize(embedding_matrix(t["embedding"]))
             out = (ids, emb)
         self._cluster_cache[cluster] = out
         return out

@@ -56,3 +56,35 @@ def worker_singleton(key, factory):
         inst = factory()
         _WORKER_SINGLETONS[key] = inst
     return inst
+
+
+def embedding_matrix(col, dtype="float64"):
+    """(n, dim) numpy matrix from an Arrow ``list<float>`` column
+    WITHOUT per-element Python objects.  Uses the flat ``values``
+    buffer of the ListArray (zero-copy from the object store for the
+    float read; one cast to ``dtype``).  Requires rows of uniform
+    length and no nulls — both guaranteed by the embeddings schema;
+    raises otherwise rather than silently mis-reshaping.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("embedding column contains nulls")
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("embedding rows have non-uniform length")
+    flat = col.values.to_numpy(zero_copy_only=False)
+    # a sliced ListArray's values buffer covers the parent; cut to
+    # this array's window before reshaping
+    flat = flat[offsets[0]:offsets[-1]]
+    return np.ascontiguousarray(flat.reshape(n, dim)).astype(
+        dtype, copy=False
+    )
