@@ -62,3 +62,23 @@ def test_unpartitioned_and_guard(ray_session, tmp_path):
     assert m["partitions"] == {"_all": 100}
     with pytest.raises(ValueError, match="fmt"):
         export_dataset(_docs(), out, fmt="csv")
+
+
+def test_partitioned_jsonl_int_partition_col(ray_session, tmp_path):
+    """Int partition values must be rendered as unquoted literals —
+    a quoted '3' against an int64 column yields empty partitions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.export import export_dataset
+
+    ds = rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "shard": pa.array([i % 3 for i in range(30)], type=pa.int64()),
+        }
+    ))
+    out = str(tmp_path / "jsonl_int")
+    m = export_dataset(ds, out, fmt="jsonl", partition_col="shard")
+    assert m["partitions"] == {"0": 10, "1": 10, "2": 10}
+    assert m["total_rows"] == 30

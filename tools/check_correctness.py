@@ -78,6 +78,9 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # stemmed SQL oracles inline the corpus vocabulary of this sf dir
+    os.environ["WBSE_ORACLE_SF_DIR"] = args.sf
+
     from web_based_search_engine_ray.registry import (
         oracle_sql,
         queries,

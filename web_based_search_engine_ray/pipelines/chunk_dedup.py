@@ -22,8 +22,11 @@ Scale shape:
   same volume a sort would move).
 - Reassembly is a second bucketed groupby on ``doc_id % num_buckets``
   with a per-bucket vectorized sort + frame join.  Docs whose every
-  chunk was dropped still appear (empty ``text_clean``) so the output
-  is row-aligned with the input.
+  chunk was DEDUPLICATED away still appear (empty ``text_clean``);
+  docs that produce zero chunks in the first place (empty or
+  all-whitespace text) emit no chunk rows and are OMITTED from the
+  output — the output is row-aligned with the set of chunkable input
+  docs, not the raw input.
 
 Both shuffles carry each surviving row exactly once; nothing
 materializes on the driver.
@@ -127,8 +130,10 @@ def chunk_dedup(docs, *, chunk_tokens: int = 16,
                 text_col: str = "text", id_col: str = "doc_id",
                 num_buckets: int = 64):
     """Dataset of ``(doc_id, text_clean, n_chunks, n_kept)`` — one row
-    per input doc; ``text_clean`` keeps only globally-first chunks
-    (empty string when every chunk was seen earlier)."""
+    per CHUNKABLE input doc (a doc with empty/all-whitespace text
+    yields no chunks and is omitted, mirrored by the SQL oracle);
+    ``text_clean`` keeps only globally-first chunks (empty string when
+    every chunk was seen earlier)."""
     chunks = docs.map_batches(
         lambda b: _chunk_rows(
             b,

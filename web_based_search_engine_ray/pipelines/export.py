@@ -31,6 +31,8 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+
 _FORMATS = ("parquet", "jsonl")
 
 
@@ -72,13 +74,27 @@ def export_dataset(ds, out_dir: str, *, fmt: str = "parquet",
         # high-cardinality partitioning.
         ds = ds.materialize()
         values = ds.unique(partition_col)
-        for v in sorted(str(x) for x in values):
-            part = ds.filter(
-                expr=f"{partition_col} == {json.dumps(v)}"
-            )
+        for v in sorted(values, key=str):
+            # typed literal: quote strings, pass ints/floats/bools
+            # through — a quoted literal against an int column would
+            # compare the wrong type (error or silently empty
+            # partitions)
+            if isinstance(v, str):
+                lit = json.dumps(v)
+            elif isinstance(v, (bool, np.bool_)):
+                lit = str(bool(v))
+            elif isinstance(v, (int, float, np.integer, np.floating)):
+                lit = repr(v.item() if hasattr(v, "item") else v)
+            else:
+                raise TypeError(
+                    f"unsupported partition value type for JSONL "
+                    f"export: {type(v).__name__}={v!r} (use parquet "
+                    f"for non-scalar partition columns)"
+                )
+            part = ds.filter(expr=f"{partition_col} == {lit}")
             pdir = os.path.join(out_dir, f"{partition_col}={v}")
             n = _write_one(part, pdir, fmt, min_rows_per_file)
-            manifest["partitions"][v] = n
+            manifest["partitions"][str(v)] = n
     manifest["total_rows"] = sum(manifest["partitions"].values())
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

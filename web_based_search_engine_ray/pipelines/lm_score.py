@@ -85,7 +85,7 @@ def fit_unigram(docs, *, text_col: str = "text",
 
 
 def score_unigram(docs, model: dict, *, text_col: str = "text",
-                  id_col: str = "doc_id", round_to: int = 9):
+                  id_col: str = "doc_id", round_to: int | None = None):
     """Dataset of ``(doc_id, n_tokens, lm_score)`` — mean token
     log-prob under the broadcast model."""
     import ray
@@ -116,7 +116,10 @@ def score_unigram(docs, model: dict, *, text_col: str = "text",
             {
                 "doc_id": batch[id_col],
                 "n_tokens": pa.array(lens.astype(np.int64)),
-                "lm_score": pa.array(np.round(mean, round_to)),
+                "lm_score": pa.array(
+                    np.round(mean, round_to)
+                    if round_to is not None else mean
+                ),
             }
         )
 

@@ -758,12 +758,19 @@ class Searcher:
                 break
             live.sort(key=lambda L: L[1][L[0]])
             theta = heap[0] if len(heap) >= k else None
-            # WAND pivot: first cursor where the cumulative ub (term
-            # order, same fold as scoring) could still beat θ
+            # WAND pivot: first cursor prefix whose summed term ubs
+            # could still beat θ.  The prefix SET is cursor-ordered
+            # (that's what defines the pivot), but each prefix's ubs
+            # are FOLDED IN TERM ORDER — IEEE addition is
+            # non-associative, and a cursor-order fold could land an
+            # ulp below the term-order score fold, skipping an
+            # exact-theta tie the TAAT path keeps.  m is the query
+            # term count, so the O(m^2) refold is noise.
             pivot = None
-            cum = 0.0
-            for i, L in enumerate(live):
-                cum += L[4]
+            for i in range(len(live)):
+                cum = 0.0
+                for L in sorted(live[: i + 1], key=lambda L: L[5]):
+                    cum += L[4]
                 if theta is None or cum * inv_norm_bound >= theta[0]:
                     pivot = i
                     break

@@ -280,11 +280,180 @@ def q_docmeta(sf_dir: str):
     return t.select(["doc_id", "url", "title", "last_modified", "lang"])
 
 
+# ------------------------------------------------- stemmed SQL oracles
+def _stem_map_values() -> str:
+    """(raw → stemmed) VALUES rows covering the ENTIRE distinct raw
+    vocabulary of the oracle corpus (body tokens + synthesized title
+    tokens).  The stop-stem normalizer is a pure function, so its
+    lookup table over the finite vocabulary IS the normalizer —
+    stopword-dropped/blank tokens are simply absent, making the SQL
+    join both the stemmer and the stopword filter.  The corpus dir
+    comes from ``WBSE_ORACLE_SF_DIR`` (default sf0.01 — the driver's
+    correctness scale)."""
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.functions.tokenize import (
+        TOKEN_RE,
+        stem_word,
+    )
+
+    sf_dir = os.environ.get(
+        "WBSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vocab: set[str] = set()
+    for t in docs["text"].to_pylist():
+        vocab.update(x.lower() for x in TOKEN_RE.split(t) if x)
+    for d in docs["doc_id"].to_pylist():
+        vocab.update(x.lower() for x in TOKEN_RE.split(f"Doc {d}") if x)
+    rows = []
+    for w in sorted(vocab):
+        s = stem_word(w)
+        if s is not None:
+            rows.append(f"('{w}', '{s}')")  # tokens are [a-zA-Z0-9_-]+
+    return ", ".join(rows)
+
+
+def _stemmed_score_ctes() -> str:
+    """Stemmed-engine mirror of ``_SCORE_CTES``: raw token streams are
+    routed through the inlined stem map (stopwords drop out of the
+    join), positions re-numbered over the POST-FILTER sequence
+    (``Indexer.java:117-140`` — dropped tokens take no position), then
+    the identical tf/df/N/tf_max/doc_len algebra.  N counts indexable
+    docs only (docs whose every token is a stopword are unindexed,
+    ``InvertedIndex.java:50-51``)."""
+    return f"""
+WITH stemmap(raw, stem) AS (VALUES {_stem_map_values()}),
+body_raw AS ({_BODY_TOKENS}),
+title_raw AS ({_TITLE_TOKENS}),
+body_toks AS (
+    SELECT b.doc_id, m.stem AS term,
+           ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos
+    FROM body_raw b JOIN stemmap m ON b.term = m.raw
+),
+title_toks AS (
+    SELECT t.doc_id, m.stem AS term,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.pos) - 1 AS pos
+    FROM title_raw t JOIN stemmap m ON t.term = m.raw
+),
+tf AS (
+    SELECT doc_id, term,
+           SUM(CASE WHEN src = 't' THEN 1 ELSE 0 END) AS title_tf,
+           SUM(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS body_tf
+    FROM (
+        SELECT doc_id, term, 'b' AS src FROM body_toks
+        UNION ALL
+        SELECT doc_id, term, 't' AS src FROM title_toks
+    ) GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+tfmax AS (SELECT doc_id, MAX(title_tf + body_tf) AS tf_max FROM tf GROUP BY doc_id),
+doclen AS (
+    SELECT t.doc_id,
+           SQRT(SUM(POW((t.title_tf + t.body_tf) * LOG10(CAST(nn.n AS DOUBLE) / d.df) / m.tf_max, 2))) AS doc_len
+    FROM tf t, df d, tfmax m, nn
+    WHERE t.term = d.term AND t.doc_id = m.doc_id
+    GROUP BY t.doc_id
+)
+"""
+
+
+def _stemmed_terms(words) -> list[str]:
+    from web_based_search_engine_ray.functions.tokenize import stem_word
+
+    return sorted({s for s in (stem_word(w) for w in words) if s})
+
+
+def _stemmed_select(words, phrase, *, qid: int | None = None) -> str:
+    """One scored SELECT over the stemmed CTEs: TF-IDF over the
+    normalized query terms, optionally restricted to docs containing
+    the normalized phrase adjacently in ONE field (title or body) —
+    the reference's per-field fold."""
+    from web_based_search_engine_ray.functions.tokenize import stem_word
+
+    terms = _stemmed_terms(words)
+    if not terms:
+        return ""
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    qcol = f"CAST({qid} AS BIGINT) AS query_id, " if qid is not None else ""
+    phrase_filter = ""
+    pterms = [s for s in (stem_word(w) for w in phrase) if s]
+    if pterms:
+        adj = []
+        for tab in ("body_toks", "title_toks"):
+            joins, conds = [], [f"w0.term = '{pterms[0]}'"]
+            for i in range(1, len(pterms)):
+                joins.append(
+                    f"JOIN {tab} w{i} ON w{i}.doc_id = w0.doc_id "
+                    f"AND w{i}.pos = w0.pos + {i}"
+                )
+                conds.append(f"w{i}.term = '{pterms[i]}'")
+            adj.append(
+                f"SELECT DISTINCT w0.doc_id FROM {tab} w0 "
+                + " ".join(joins)
+                + " WHERE " + " AND ".join(conds)
+            )
+        phrase_filter = (
+            " AND p.doc_id IN (" + " UNION ".join(adj) + ")"
+        )
+    return f"""
+    SELECT {qcol}p.doc_id,
+           ROUND(SUM(p.p) / ANY_VALUE(l.doc_len), 9) AS score
+    FROM (
+        SELECT t.doc_id,
+               (0.9 * t.title_tf + 0.1 * t.body_tf)
+               * LOG10(CAST(nn.n AS DOUBLE) / d.df) / m.tf_max AS p
+        FROM tf t, df d, tfmax m, nn
+        WHERE t.term = d.term AND t.doc_id = m.doc_id
+          AND t.term IN ({terms_in})
+    ) p JOIN doclen l ON p.doc_id = l.doc_id
+    WHERE TRUE{phrase_filter}
+    GROUP BY p.doc_id
+    """
+
+
+def _stemmed_search_sql() -> str:
+    return _stemmed_score_ctes() + _stemmed_select(
+        set(_STEMMED_WORDS), ()
+    )
+
+
+def _stemmed_conformance_sql() -> str:
+    branches = [
+        sel
+        for qid, (words, phrase) in enumerate(_STEMMED_BATTERY)
+        if (sel := _stemmed_select(words, phrase, qid=qid))
+    ]
+    return _stemmed_score_ctes() + " UNION ALL ".join(branches)
+
+
+_STEMMED_WORDS = ("sparking", "merged", "windows")
+
+#: conformance battery shared by the engine query AND the SQL mirror
+_STEMMED_BATTERY = [
+    ({"spark", "merge"}, ()),
+    ({"window"}, ()),
+    ({"batch", "stream", "join"}, ()),
+    ({"batch"}, ("batch", "batch")),
+    ({"fast", "key"}, ("fast", "key")),
+    ({"the", "of"}, ()),
+    ({"tables", "sorted", "filtering"}, ()),
+    ({"doc", "42"}, ()),
+]
+
+
 def q_search_stemmed(sf_dir: str):
-    """Rows-only (stemming isn't SQL-expressible), but self-verifying:
-    the result is asserted doc-for-doc and score-for-score (1e-12)
-    against the in-package literal oracle (record-at-a-time
-    re-implementation of the reference semantics) before returning."""
+    """Full stemmed-engine TF-IDF result for the raw query words
+    (stop-stem normalized engine-side).  SQL-oracle-checked: the
+    oracle inlines the corpus's (raw → stemmed) vocabulary as a
+    VALUES table (the stemmer is a pure function, so its lookup
+    table over the finite vocabulary IS the stemmer — see
+    ``_stemmed_score_ctes``).  Additionally self-verified doc-for-doc
+    and score-for-score (1e-12) against the in-package literal
+    oracle before returning."""
     import pyarrow.parquet as pq
 
     from web_based_search_engine_ray.oracle import OracleIndex
@@ -292,8 +461,7 @@ def q_search_stemmed(sf_dir: str):
 
     idx = get_index(sf_dir, IndexConfig())
     s = Searcher(idx)
-    words = {"sparking", "merged", "windows"}
-    res = s.search(words, k=50, hydrate=False)
+    words = set(_STEMMED_WORDS)
 
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -313,15 +481,18 @@ def q_search_stemmed(sf_dir: str):
     )
     if worst > 1e-12:
         raise AssertionError(f"search_stemmed score mismatch: {worst}")
-    return res
+    full["score"] = np.round(full["score"], 9)
+    return full[["doc_id", "score"]]
 
 
 def q_stemmed_conformance(sf_dir: str):
-    """Rows-only but self-verifying: runs the FULL stemmed engine
-    against the in-package literal Python oracle (record-at-a-time
-    re-implementation of the reference semantics) on a battery of
-    word/phrase queries and RAISES on any doc-set or >1e-12 score
-    mismatch.  Returns one row per query with the verified counts."""
+    """Full stemmed engine over the ``_STEMMED_BATTERY``
+    (keyword/phrase/stopword queries); returns
+    (query_id, doc_id, score) rows for every battery entry.
+    SQL-oracle-checked via the inlined vocabulary stem map (see
+    ``_stemmed_conformance_sql``), and ADDITIONALLY asserted
+    doc-for-doc and <=1e-12 score-for-score against the in-package
+    literal Python oracle — any mismatch raises."""
     import pyarrow.parquet as pq
 
     from web_based_search_engine_ray.oracle import OracleIndex
@@ -336,18 +507,8 @@ def q_stemmed_conformance(sf_dir: str):
     for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         oi.add_document(did, f"Doc {did}", text)
 
-    battery = [
-        ({"spark", "merge"}, ()),
-        ({"window"}, ()),
-        ({"batch", "stream", "join"}, ()),
-        ({"batch"}, ("batch", "batch")),
-        ({"fast", "key"}, ("fast", "key")),
-        ({"the", "of"}, ()),
-        ({"tables", "sorted", "filtering"}, ()),
-        ({"doc", "42"}, ()),
-    ]
-    rows = []
-    for qid, (words, phrase) in enumerate(battery):
+    frames = []
+    for qid, (words, phrase) in enumerate(_STEMMED_BATTERY):
         eng = s.search(words, list(phrase), k=10**9, hydrate=False)
         orc = oi.search(words, phrase)
         eng_map = dict(zip(eng["doc_id"].tolist(), eng["score"].tolist()))
@@ -364,11 +525,18 @@ def q_stemmed_conformance(sf_dir: str):
             raise AssertionError(
                 f"score mismatch for {words}/{phrase}: {worst}"
             )
-        rows.append(
-            {"query_id": qid, "n_docs_matched": len(orc),
-             "max_abs_score_diff": worst}
-        )
-    return pd.DataFrame(rows)
+        if len(eng):
+            f = eng[["doc_id", "score"]].copy()
+            f.insert(0, "query_id", qid)
+            frames.append(f)
+    out = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["query_id", "doc_id", "score"])
+    )
+    out["score"] = np.round(out["score"], 9)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
 
 
 def q_dedup_exact(sf_dir: str):
@@ -643,10 +811,11 @@ def q_hll_distinct(sf_dir: str):
         np.unique(tokens.to_pandas()["tok"].to_numpy())
     )
     rel_err = abs(r["estimate"] / max(exact, 1) - 1.0)
-    assert rel_err <= 0.02, (
-        f"HLL estimate {r['estimate']:.1f} vs exact {exact}: "
-        f"rel err {rel_err:.4f} > 0.02"
-    )
+    if rel_err > 0.02:  # explicit raise: survives `python -O`
+        raise AssertionError(
+            f"HLL estimate {r['estimate']:.1f} vs exact {exact}: "
+            f"rel err {rel_err:.4f} > 0.02"
+        )
     return pd.DataFrame(
         {
             "distinct_est": pd.Series([r["estimate"]], dtype="float64"),
@@ -979,7 +1148,12 @@ def q_lm_score(sf_dir: str):
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
     model = fit_unigram(docs)
-    return score_unigram(docs, model)
+    res = score_unigram(docs, model).to_pandas()
+    # floor-scale (like q_quality/q_repetition), not round(): the two
+    # sides sum token log-probs in different orders, and ROUND's
+    # half-boundary behaviour could diverge on an exact .5e-9 grid hit
+    res["lm_score"] = np.floor(res["lm_score"] * 1e6) / 1e6
+    return res
 
 
 def q_top_terms_per_lang(sf_dir: str):
@@ -1178,16 +1352,6 @@ def self_verified() -> dict[str, str]:
     by ``tools/check_correctness.py`` into ``SELFCHECK.json`` so the
     per-round correctness signal covers all 30 queries."""
     return {
-        "search_stemmed": (
-            "doc-set equality + max |score diff| <= 1e-12 vs the "
-            "in-package literal oracle (record-at-a-time reference "
-            "reimplementation) over the full result set"
-        ),
-        "stemmed_conformance": (
-            "8-query battery (keyword/phrase/stopword) asserted "
-            "doc-for-doc and <=1e-12 score-for-score vs the literal "
-            "oracle; returned rows carry the verified counts"
-        ),
         "ivf_ann": (
             "recall@10 vs exact brute-force top-k asserted >= 0.3 "
             "(approximate by design; the gate catches breakage)"
@@ -1591,7 +1755,7 @@ def _lm_score_sql() -> str:
         ),
         ds AS (
             SELECT t.doc_id, COUNT(*) AS n_tokens,
-                   ROUND(AVG(lp.logp), 9) AS lm_score
+                   FLOOR(AVG(lp.logp) * 1e6) / 1e6 AS lm_score
             FROM toks t JOIN lp ON t.tok = lp.tok
             GROUP BY t.doc_id
         )
@@ -1729,6 +1893,12 @@ def oracle_sql():
             FROM documents, (SELECT unnest([1, 7, 42]) AS off)
         """,
         "pagerank": _pagerank_sql(),
+        # stemmed engine: the (raw -> stemmed) vocabulary is inlined
+        # as a VALUES table (pure-function lookup over the finite
+        # corpus vocabulary), making the full stop-stem TF-IDF path
+        # hash-checkable like tfidf_search
+        "search_stemmed": _stemmed_search_sql(),
+        "stemmed_conformance": _stemmed_conformance_sql(),
         "docmeta": f"""
             SELECT doc_id, {_SQL_URL} AS url, {_SQL_TITLE} AS title,
                    TIMESTAMP '2024-01-01 00:00:00'
