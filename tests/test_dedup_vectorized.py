@@ -395,3 +395,53 @@ def test_ivf_auto_scale_clusters(ray_session):
     assert idx.n_clusters == 30  # round(sqrt(900))
     res = idx.search(rng.normal(size=(2, 8)), k=5, nprobe=4)
     assert len(res) == 10
+
+
+def test_hot_key_guards_fire(ray_session, tmp_path):
+    """A group over the per-group row budget must raise loudly (not
+    OOM silently): sessionize mega-user, chunk_dedup mega-bucket, CC
+    mega-bucket."""
+    import ray
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.chunk_dedup import chunk_dedup
+    from web_based_search_engine_ray.pipelines.dedup import (
+        connected_components,
+    )
+    from web_based_search_engine_ray.pipelines.events import sessionize
+
+    ev = rd.from_arrow(pa.table(
+        {
+            "user_id": pa.array([7] * 100, type=pa.int64()),
+            "ts": pa.array(
+                pd.date_range("2024-01-01", periods=100, freq="min")
+            ),
+            "value": pa.array([1.0] * 100),
+        }
+    ))
+    with pytest.raises(ray.exceptions.RayTaskError, match="sessionize"):
+        sessionize(ev, max_group_rows=10).materialize()
+    # default budget: unchanged result
+    assert sessionize(ev).count() == 1
+
+    docs = rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(["alpha beta gamma"] * 40),
+        }
+    ))
+    with pytest.raises(ray.exceptions.RayTaskError, match="chunk_dedup"):
+        chunk_dedup(docs, num_buckets=1, max_group_rows=5).materialize()
+
+    pairs = rd.from_arrow(pa.table(
+        {
+            "doc_a": pa.array(range(0, 60), type=pa.int64()),
+            "doc_b": pa.array(range(1, 61), type=pa.int64()),
+        }
+    ))
+    with pytest.raises(
+        ray.exceptions.RayTaskError, match="connected_components"
+    ):
+        connected_components(
+            pairs, num_buckets=1, max_group_rows=5
+        ).materialize()

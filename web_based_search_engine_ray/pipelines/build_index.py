@@ -50,6 +50,7 @@ import pyarrow as pa
 
 from web_based_search_engine_ray.config import IndexConfig
 from web_based_search_engine_ray.stages.extract import Extractor
+from web_based_search_engine_ray.state import fsio
 from web_based_search_engine_ray.stages.postings import (
     ForwardRows,
     TokenizeEncode,
@@ -121,8 +122,6 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
     Scale contract: one shard slice must fit a task (same granularity
     every per-shard stage here assumes — size ``doc_shards`` to the
     corpus).  Returns one row of (shard, rows, dups_removed)."""
-    import glob as _glob
-
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -131,11 +130,11 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
         batch["shard"].to_pylist(), batch["dir"].to_pylist()
     ):
         comp = os.path.join(d, "lww-compacted.parquet")
-        paths = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-        inputs = [p for p in paths if p != comp]
-        if os.path.exists(comp):
+        paths = fsio.glob(os.path.join(d, "*.parquet"))
+        inputs = [p for p in paths if not p.endswith("lww-compacted.parquet")]
+        if fsio.exists(comp):
             # A prior attempt of this task completed its compaction
-            # (``os.replace`` below is atomic, so an existing ``comp``
+            # (``fsio.replace`` below is atomic locally, so an existing ``comp``
             # is always a COMPLETE output); any remaining input files
             # are leftovers of its interrupted remove loop.  Re-running
             # must converge on the same state, never delete the output
@@ -143,25 +142,25 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
             # reconstruction).  ``dups_removed`` for a resumed shard is
             # reported as 0 — the stats row is diagnostic only.
             for p in inputs:
-                os.remove(p)
-            n = pq.read_metadata(comp).num_rows
+                fsio.remove(p)
+            n = fsio.parquet_num_rows(comp)
             shards.append(shard); rows_out.append(n); dups_out.append(0)
             continue
         if not inputs:
             shards.append(shard); rows_out.append(0); dups_out.append(0)
             continue
-        urls = pq.read_table(inputs, columns=["url"])["url"]
+        urls = fsio.parquet_read_table(inputs, columns=["url"])["url"]
         n = len(urls)
         n_uniq = len(pc.unique(urls.combine_chunks()))
         if n_uniq == n:
             shards.append(shard); rows_out.append(n); dups_out.append(0)
             continue
-        t = pq.read_table(inputs)
+        t = fsio.parquet_read_table(inputs)
         keep = _lww_group_extracted(t)
-        pq.write_table(keep, comp + ".tmp")
-        os.replace(comp + ".tmp", comp)
+        fsio.parquet_write_table(keep, comp + ".tmp")
+        fsio.replace(comp + ".tmp", comp)
         for p in inputs:
-            os.remove(p)
+            fsio.remove(p)
         shards.append(shard)
         rows_out.append(keep.num_rows)
         dups_out.append(n - keep.num_rows)
@@ -252,23 +251,21 @@ def _lexicon_bucket_task(batch: pa.Table) -> pa.Table:
     live in exactly one bucket and merged runs carry the max of their
     sources' bounds.  Reading inside the task guarantees the whole
     bucket aggregates at once (block splits can't duplicate terms)."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
     out = [_LEXICON_SCHEMA.empty_table()]
     for bucket, seg_dir in zip(
         batch["bucket"].to_pylist(), batch["seg_dir"].to_pylist()
     ):
-        paths = sorted(
-            _glob.glob(
-                os.path.join(seg_dir, "**", f"bucket={bucket}", "*.parquet"),
-                recursive=True,
-            )
+        paths = fsio.glob(
+            os.path.join(seg_dir, "**", f"bucket={bucket}", "*.parquet"),
+            recursive=True,
         )
         if not paths:
             continue
-        t = pq.read_table(paths, columns=["term", "df_run", "ub_run"])
+        t = fsio.parquet_read_table(
+            paths, columns=["term", "df_run", "ub_run"]
+        )
         g = t.group_by("term").aggregate(
             [("df_run", "sum"), ("ub_run", "max")]
         )
@@ -580,7 +577,7 @@ def build_index(
     import ray.data as rd
 
     cfg = cfg or IndexConfig()
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir)
     sem = cfg.semantic_key()
     results: list[mf.StageResult] = []
     t_start = time.perf_counter()
@@ -676,7 +673,7 @@ def build_index(
         # dir — manifests live beside the part dirs); a resumed run
         # re-extracts only incomplete parts
         t0 = time.perf_counter()
-        os.makedirs(d_ext_parts, exist_ok=True)
+        fsio.makedirs(d_ext_parts)
         parts = corpus_parts_fn()
         part_rows = 0
         parts_done = 0
@@ -708,11 +705,10 @@ def build_index(
         )
         # Ray treats list entries as files: expand part dirs
         ext_sources = [
-            os.path.join(root, fn)
+            f
             for p in part_dirs
-            for root, _dirs, files in os.walk(p)
-            for fn in sorted(files)
-            if fn.endswith(".parquet")
+            for f in fsio.walk_files(p)
+            if f.endswith(".parquet")
         ]
         # fingerprint for downstream chaining covers every part
         fp_ext = _fp(fp_ext, *[
@@ -774,7 +770,7 @@ def build_index(
 
     def _part_manifest(stage: str, s: int) -> str:
         d = os.path.join(out_dir, "_part_manifests")
-        os.makedirs(d, exist_ok=True)
+        fsio.makedirs(d)
         return os.path.join(d, f"{stage}.doc_shard={s}.json")
 
     def _run_sharded_stage(name: str, stage_dir: str, stage_fp: str,
@@ -787,7 +783,7 @@ def build_index(
             return mf.StageResult(
                 name, stage_dir, m.get("rows", -1), 0.0, True, m
             )
-        os.makedirs(stage_dir, exist_ok=True)
+        fsio.makedirs(stage_dir)
         rebuilt = 0
         for s in range(cfg.doc_shards):
             p_dir = os.path.join(stage_dir, f"doc_shard={s}")
@@ -812,7 +808,7 @@ def build_index(
 
     def _build_segments_part(stage_dir: str, *, shard: int) -> int:
         src = os.path.join(d_ext, f"doc_shard={shard}")
-        if not os.path.isdir(src):
+        if not fsio.isdir(src):
             return 0
         ds = rd.read_parquet(
             src, columns=["doc_id", "title", "text"],
@@ -910,7 +906,7 @@ def build_index(
 
     def _build_forward_part(stage_dir: str, *, shard: int) -> int:
         src = os.path.join(d_ext, f"doc_shard={shard}")
-        if not os.path.isdir(src):
+        if not fsio.isdir(src):
             return 0
         ds = rd.read_parquet(
             src, columns=["doc_id", "title", "text"],
@@ -956,7 +952,7 @@ def build_index(
             _lexicon_bucket_task, batch_size=1, batch_format="pyarrow"
         )
         lex.write_parquet(stage_dir, partition_cols=["bucket"])
-        os.makedirs(stage_dir, exist_ok=True)
+        fsio.makedirs(stage_dir)
         _ensure_nonempty_schema(
             stage_dir,
             pa.schema([("term", pa.string()), ("term_hash", pa.uint64()),
@@ -1086,9 +1082,7 @@ def _ensure_nonempty_schema(stage_dir: str, schema: pa.Schema) -> None:
     import pyarrow.parquet as pq
 
     has_file = any(
-        fn.endswith(".parquet")
-        for _root, _dirs, files in os.walk(stage_dir)
-        for fn in files
+        f.endswith(".parquet") for f in fsio.walk_files(stage_dir)
     )
     if not has_file:
         pq.write_table(

@@ -128,12 +128,29 @@ def _reassemble_bucket(group: pa.Table) -> pa.Table:
 def chunk_dedup(docs, *, chunk_tokens: int = 16,
                 delimiter: str | None = None,
                 text_col: str = "text", id_col: str = "doc_id",
-                num_buckets: int = 64):
+                num_buckets: int = 64,
+                max_group_rows: int | None = 8_000_000):
     """Dataset of ``(doc_id, text_clean, n_chunks, n_kept)`` — one row
     per CHUNKABLE input doc (a doc with empty/all-whitespace text
     yields no chunks and is omitted, mirrored by the SQL oracle);
     ``text_clean`` keeps only globally-first chunks (empty string when
-    every chunk was seen earlier)."""
+    every chunk was seen earlier).
+
+    Each chunk-hash bucket (and each doc-id bucket on reassembly) must
+    fit one reducer; ``max_group_rows`` fails loud on a hot bucket
+    (raise ``num_buckets`` to thin them)."""
+    from web_based_search_engine_ray.util import check_group_budget
+
+    def _guarded(fn, stage):
+        def run(group: pa.Table) -> pa.Table:
+            check_group_budget(
+                len(group), max_group_rows, stage=stage,
+                key=int(group["bucket"][0].as_py()) if len(group) else None,
+                hint="raise num_buckets (thins chunk/doc buckets) or "
+                     "max_group_rows",
+            )
+            return fn(group)
+        return run
     chunks = docs.map_batches(
         lambda b: _chunk_rows(
             b,
@@ -153,7 +170,8 @@ def chunk_dedup(docs, *, chunk_tokens: int = 16,
 
     survivors = (
         chunks.groupby("bucket")
-        .map_groups(_keep_first_in_bucket, batch_format="pyarrow")
+        .map_groups(_guarded(_keep_first_in_bucket, "chunk_dedup.keep_first"),
+                    batch_format="pyarrow")
     )
 
     def docbucket(b: pa.Table) -> pa.Table:
@@ -166,7 +184,8 @@ def chunk_dedup(docs, *, chunk_tokens: int = 16,
     rebuilt = (
         survivors.map_batches(docbucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_reassemble_bucket, batch_format="pyarrow")
+        .map_groups(_guarded(_reassemble_bucket, "chunk_dedup.reassemble"),
+                    batch_format="pyarrow")
     )
 
     # align with ALL input docs: left join totals ⟕ rebuilt on doc_id —

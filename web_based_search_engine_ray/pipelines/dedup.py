@@ -797,7 +797,8 @@ def _cc_min_per_key(keys: np.ndarray, lbl: np.ndarray):
 
 
 def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
-                         max_iters: int = 50, num_buckets: int = 64):
+                         max_iters: int = 50, num_buckets: int = 64,
+                         max_group_rows: int | None = 16_000_000):
     """Connected components of an undirected pair table via distributed
     hash-min label propagation: every node repeatedly adopts the
     minimum label among itself and its neighbors (converges in
@@ -819,10 +820,25 @@ def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
     O(log n) rounds.  No driver-side graph.  Returns a Dataset of
     ``(node, component)`` with ``component`` = the minimum node id in
     the component.
+
+    Each hash bucket (edges + labels + pointer rows) must fit one
+    reducer; ``max_group_rows`` guards the hot-bucket case loudly
+    (raise ``num_buckets`` to thin buckets — the bucketing is on a
+    hash so only a skewed hash, not a hot NODE, can concentrate rows).
     """
     from ray.data.aggregate import Sum
 
+    from web_based_search_engine_ray.util import check_group_budget
+
     nb = np.int64(num_buckets)
+
+    def _guard(group: pa.Table, stage: str) -> None:
+        check_group_budget(
+            len(group), max_group_rows, stage=stage,
+            key=int(group["bucket"][0].as_py()) if len(group) else None,
+            hint="raise num_buckets (thins hash buckets) or "
+                 "max_group_rows",
+        )
 
     def make_edges(b: pa.Table) -> pa.Table:
         # both directions; schema shared with the labels table so the
@@ -886,6 +902,7 @@ def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
     def spread(group: pa.Table) -> pa.Table:
         # bucket-wide: per-key min label (label rows win; edge rows are
         # sentinel-inert), pushed to every neighbor and kept at the node
+        _guard(group, "connected_components.spread")
         g = group.sort_by([("key", "ascending")])
         keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(keys) == 0:
@@ -900,6 +917,7 @@ def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
 
     def combine(group: pa.Table) -> pa.Table:
         # min over incoming messages per node, bucket-wide
+        _guard(group, "connected_components.combine")
         g = group.sort_by([("key", "ascending")])
         keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(keys) == 0:

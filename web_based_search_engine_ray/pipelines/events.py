@@ -123,11 +123,18 @@ def sliding_window_agg(ds, *, size_minutes: int = 60, step_minutes: int = 15):
     )
 
 
-def sessionize(ds, *, gap_minutes: int = 30, num_buckets: int = 64):
+def sessionize(ds, *, gap_minutes: int = 30, num_buckets: int = 64,
+               max_group_rows: int | None = 8_000_000):
     """Per-user sessions (new session when the gap to the previous event
     exceeds ``gap_minutes``).  Output: one row per session with
     (user_id, session_start, session_end, n_events, sum_value).
-    Vectorized per user-hash bucket."""
+    Vectorized per user-hash bucket.
+
+    A bucket's events must fit one reducer; ``max_group_rows`` guards
+    the hot-key case loudly (raise ``num_buckets`` to thin buckets; a
+    SINGLE user over the budget needs time-sliced salting — split the
+    user's events on coarse time, sessionize slices, merge
+    boundary-crossing sessions)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -137,6 +144,15 @@ def sessionize(ds, *, gap_minutes: int = 30, num_buckets: int = 64):
         )
 
     def sessions(group: pa.Table) -> pa.Table:
+        from web_based_search_engine_ray.util import check_group_budget
+
+        check_group_budget(
+            len(group), max_group_rows, stage="sessionize",
+            key=int(group["bucket"][0].as_py()) if len(group) else None,
+            hint="raise num_buckets (thins users per bucket) or "
+                 "max_group_rows; one user over the budget needs "
+                 "time-sliced salting",
+        )
         group = group.sort_by([("user_id", "ascending"), ("ts", "ascending")])
         users = group["user_id"].to_numpy(zero_copy_only=False)
         ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")

@@ -47,6 +47,7 @@ import pyarrow.dataset as pads
 
 from web_based_search_engine_ray.config import IndexConfig
 from web_based_search_engine_ray.functions.hashing import stable_hash63
+from web_based_search_engine_ray.state import fsio
 from web_based_search_engine_ray.functions.tokenize import stem_word, tokenize
 from web_based_search_engine_ray.stages import codec
 from web_based_search_engine_ray.state import manifest as mf
@@ -113,7 +114,7 @@ class Searcher:
         # actor); a flat pre-bucketed layout loads as one bucket.
         self._d_lex = os.path.join(index_dir, "lexicon")
         self._lex_bucketed = any(
-            d.startswith("bucket=") for d in os.listdir(self._d_lex)
+            d.startswith("bucket=") for d in fsio.listdir(self._d_lex)
         )
         lex_schema = pads.dataset(
             self._d_lex, format="parquet"
@@ -131,7 +132,7 @@ class Searcher:
             if doc_shard is not None
             else None
         )
-        src = part if (part is not None and os.path.isdir(part)) else d_stats
+        src = part if (part is not None and fsio.isdir(part)) else d_stats
         sds = pads.dataset(src, format="parquet")
         stat_cols = ["doc_id", "tf_max", "doc_len_norm"]
         has_ntok = "n_tokens" in sds.schema.names
@@ -150,7 +151,7 @@ class Searcher:
         # corpus-global average doc length (BM25 avgdl) — written by the
         # build; per-shard fallback only for pre-v4 indexes
         stats_json = os.path.join(d_stats, "_STATS.json")
-        if os.path.isfile(stats_json):
+        if fsio.isfile(stats_json):
             gs = mf.read_json(stats_json)
             self.avgdl = gs["total_tokens"] / max(1, gs["n_docs"])
         elif self._n_tokens is not None and len(self._n_tokens):
@@ -198,7 +199,7 @@ class Searcher:
             if self._lex_bucketed
             else self._d_lex
         )
-        if not os.path.isdir(path):
+        if not fsio.isdir(path):
             out = (pa.array([], pa.string()), np.empty(0, np.int64), None)
         else:
             cols = ["term", "df"] + (["ub_adj"] if self._lex_has_ub else [])
@@ -1030,7 +1031,7 @@ def dump_index(index_dir: str, *, max_rows: int = 20) -> str:
     for name in ("docmeta", "lexicon", "docstats", "forward", "edges",
                  "segments"):
         path = os.path.join(index_dir, name)
-        if not os.path.isdir(path):
+        if not fsio.isdir(path):
             continue
         d = pads.dataset(path, format="parquet", partitioning="hive")
         t = d.head(max_rows)

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import functools
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -54,6 +53,7 @@ from web_based_search_engine_ray.pipelines.build_index import (
     filter_fresh,
 )
 from web_based_search_engine_ray.stages.postings import compact_bucket
+from web_based_search_engine_ray.state import fsio
 from web_based_search_engine_ray.state import manifest as mf
 
 
@@ -138,7 +138,7 @@ def update_index(
         )
     d_ext = os.path.join(index_dir, "extracted")
     d_seg = os.path.join(index_dir, "segments")
-    if not os.path.isdir(d_ext) and os.path.isdir(
+    if not fsio.isdir(d_ext) and fsio.isdir(
         os.path.join(index_dir, "extracted_parts")
     ):
         raise NotImplementedError(
@@ -161,7 +161,7 @@ def update_index(
         batch_size=cfg.extract_batch_size,
     )
     d_delta = os.path.join(index_dir, "_extracted_delta")
-    shutil.rmtree(d_delta, ignore_errors=True)
+    fsio.rmtree(d_delta, ignore_errors=True)
     fresh_ext.write_parquet(d_delta)
     try:
         n_fresh = _count_parquet(d_delta)
@@ -185,7 +185,7 @@ def update_index(
         removed_ids = removed["doc_id"].to_numpy()
 
     if n_fresh == 0 and not removed_urls:
-        shutil.rmtree(d_delta, ignore_errors=True)
+        fsio.rmtree(d_delta, ignore_errors=True)
         report = mf.read_json(os.path.join(index_dir, "meta.json"))
         report["update"] = {"fresh_docs": 0, "affected_shards": [],
                            "removed_docs": 0}
@@ -235,10 +235,10 @@ def update_index(
     )
 
     ext_partitioned = any(
-        d.startswith("doc_shard=") for d in os.listdir(d_ext)
+        d.startswith("doc_shard=") for d in fsio.listdir(d_ext)
     )
     d_ext_new = os.path.join(index_dir, "_extracted_new")
-    shutil.rmtree(d_ext_new, ignore_errors=True)
+    fsio.rmtree(d_ext_new, ignore_errors=True)
     if ext_partitioned:
         # partition-pruned rewrite: only the AFFECTED shards' extracted
         # rows are read and rewritten; untouched partition dirs are not
@@ -246,7 +246,7 @@ def update_index(
         aff_dirs = [
             p
             for s in affected
-            if os.path.isdir(p := os.path.join(d_ext, f"doc_shard={s}"))
+            if fsio.isdir(p := os.path.join(d_ext, f"doc_shard={s}"))
         ]
         parts = []
         if aff_dirs:
@@ -274,11 +274,11 @@ def update_index(
             part = f"doc_shard={s}"
             old_part = os.path.join(d_ext, part)
             new_part = os.path.join(d_ext_new, part)
-            if os.path.isdir(old_part):
-                shutil.rmtree(old_part)
-            if os.path.isdir(new_part):
-                os.rename(new_part, old_part)
-        shutil.rmtree(d_ext_new, ignore_errors=True)
+            if fsio.isdir(old_part):
+                fsio.rmtree(old_part)
+            if fsio.isdir(new_part):
+                fsio.replace(new_part, old_part)
+        fsio.rmtree(d_ext_new, ignore_errors=True)
     else:
         # flat layout (doc_shards == 1 or a pre-partitioning index):
         # full read+rewrite, as before
@@ -293,10 +293,10 @@ def update_index(
         merged.write_parquet(
             d_ext_new, min_rows_per_file=cfg.min_rows_per_file
         )
-        shutil.rmtree(d_ext)
-        os.rename(d_ext_new, d_ext)
+        fsio.rmtree(d_ext)
+        fsio.replace(d_ext_new, d_ext)
     n_ext = _count_parquet(d_ext)
-    shutil.rmtree(d_delta, ignore_errors=True)
+    fsio.rmtree(d_delta, ignore_errors=True)
 
     fp_ext = _fp("extracted", sem, input_key)
     mf.write_manifest(d_ext, fp_ext, n_ext, extra={"updated": True})
@@ -338,22 +338,22 @@ def update_index(
         )
     partition_cols = ["doc_shard", "bucket"] if cfg.doc_shards > 1 else ["bucket"]
     d_seg_new = os.path.join(index_dir, "_segments_new")
-    shutil.rmtree(d_seg_new, ignore_errors=True)
+    fsio.rmtree(d_seg_new, ignore_errors=True)
     runs.write_parquet(d_seg_new, partition_cols=partition_cols)
 
     if full_rebuild:
-        shutil.rmtree(d_seg)
-        os.rename(d_seg_new, d_seg)
+        fsio.rmtree(d_seg)
+        fsio.replace(d_seg_new, d_seg)
     else:
         for s in affected:
             part = f"doc_shard={s}"
             old_part = os.path.join(d_seg, part)
             new_part = os.path.join(d_seg_new, part)
-            if os.path.isdir(old_part):
-                shutil.rmtree(old_part)
-            if os.path.isdir(new_part):
-                os.rename(new_part, old_part)
-        shutil.rmtree(d_seg_new, ignore_errors=True)
+            if fsio.isdir(old_part):
+                fsio.rmtree(old_part)
+            if fsio.isdir(new_part):
+                fsio.replace(new_part, old_part)
+        fsio.rmtree(d_seg_new, ignore_errors=True)
 
     fp_seg = _fp("segments", fp_ext)
     mf.write_manifest(

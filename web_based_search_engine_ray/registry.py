@@ -1253,6 +1253,94 @@ def q_media_real(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+_WAV_N = 800       # samples per synthesized clip
+_WAV_RATE = 8000   # Hz → 0.1 s clips
+
+
+def q_media_audio(sf_dir: str):
+    """REAL audio decode through the registry seam: a deterministic
+    16-bit PCM mono WAV is synthesized per doc (sample i =
+    ``(doc_id*7 + i*13) % 4096 - 2048``), decoded by the stdlib
+    ``wav`` decoder in the actor-pool media pipeline, and the decoded
+    RMS math is mirrored closed-form in SQL (rms floor-scaled at 1e6
+    on both sides — summation order differs)."""
+    import io
+    import wave
+
+    import pyarrow as pa
+
+    from web_based_search_engine_ray.pipelines.multimodal import (
+        media_pipeline,
+    )
+
+    n, rate = _WAV_N, _WAV_RATE
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        i_arr = np.arange(n, dtype=np.int64)
+        payloads = []
+        for d in ids:
+            samples = (
+                (int(d) * 7 + i_arr * 13) % 4096 - 2048
+            ).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(samples.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    media = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = media_pipeline(media, decoder="wav", batch_size=64)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rms = batch["rms"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_channels": pa.compute.cast(
+                    batch["n_channels"], pa.int64()
+                ),
+                "sample_rate": pa.compute.cast(
+                    batch["sample_rate"], pa.int64()
+                ),
+                "duration_s": pa.compute.round(
+                    batch["duration_s"], ndigits=9
+                ),
+                "rms": pa.array(np.floor(rms * 1e6) / 1e6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _media_audio_sql() -> str:
+    return f"""
+        WITH s AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 7 + i.i * 13) % 4096 - 2048) / 32768.0
+                       AS x
+            FROM documents d,
+                 (SELECT unnest(range({_WAV_N})) AS i) i
+        )
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+               ROUND({_WAV_N} / {_WAV_RATE}.0, 9) AS duration_s,
+               FLOOR(SQRT(AVG(x * x)) * 1e6) / 1e6 AS rms
+        FROM s GROUP BY doc_id
+    """
+
+
 def _media_real_sql() -> str:
     n = _PNM_W * _PNM_H
     return f"""
@@ -1329,6 +1417,7 @@ def queries():
         "orders_join": q_orders_join,
         "media_features": q_media_features,
         "media_real": q_media_real,
+        "media_audio": q_media_audio,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dup_rate_by_source": q_dup_rate_by_source,
         "label_centroids": q_label_centroids,
@@ -2076,6 +2165,7 @@ def oracle_sql():
         """,
         "media_features": _media_features_sql(),
         "media_real": _media_real_sql(),
+        "media_audio": _media_audio_sql(),
         "top_terms_per_lang": f"""
             WITH toks AS (
                 SELECT lang, lower(unnest({_TT_TOKS})) AS term

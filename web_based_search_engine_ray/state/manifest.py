@@ -14,8 +14,9 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
+
+from web_based_search_engine_ray.state import fsio
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -37,18 +38,17 @@ def _manifest_path(stage_dir: str) -> str:
 
 def load_manifest(stage_dir: str, *, manifest_path: str | None = None) -> dict | None:
     p = manifest_path or _manifest_path(stage_dir)
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return None
     try:
-        with open(p) as f:
-            return json.load(f)
+        return fsio.read_json(p)
     except (json.JSONDecodeError, OSError):
         return None
 
 
 def is_complete(stage_dir: str, fingerprint: str, *,
                 manifest_path: str | None = None) -> bool:
-    if not os.path.isdir(stage_dir):
+    if not fsio.isdir(stage_dir):
         return False
     m = load_manifest(stage_dir, manifest_path=manifest_path)
     return m is not None and m.get("fingerprint") == fingerprint
@@ -57,16 +57,16 @@ def is_complete(stage_dir: str, fingerprint: str, *,
 def partition_files(stage_dir: str) -> list[dict]:
     """Per-partition lineage: every parquet part file with its size."""
     out = []
-    for root, _dirs, files in os.walk(stage_dir):
-        for fn in sorted(files):
-            if fn.endswith(".parquet"):
-                full = os.path.join(root, fn)
-                out.append(
-                    {
-                        "file": os.path.relpath(full, stage_dir),
-                        "bytes": os.path.getsize(full),
-                    }
-                )
+    base = stage_dir.rstrip("/") + "/"
+    for full in fsio.walk_files(stage_dir):
+        if full.endswith(".parquet"):
+            out.append(
+                {
+                    "file": full[len(base):] if full.startswith(base)
+                    else full.rsplit("/", 1)[-1],
+                    "bytes": fsio.getsize(full),
+                }
+            )
     return out
 
 
@@ -87,11 +87,11 @@ def run_stage(
     if resume and is_complete(stage_dir, fingerprint, manifest_path=mp):
         m = load_manifest(stage_dir, manifest_path=mp)
         return StageResult(name, stage_dir, m.get("rows", -1), 0.0, True, m)
-    if os.path.exists(stage_dir):
-        shutil.rmtree(stage_dir)
-    if os.path.exists(mp):
-        os.remove(mp)
-    os.makedirs(stage_dir, exist_ok=True)
+    if fsio.exists(stage_dir):
+        fsio.rmtree(stage_dir)
+    if fsio.exists(mp):
+        fsio.remove(mp)
+    fsio.makedirs(stage_dir)
     t0 = time.perf_counter()
     rows = build_fn(stage_dir)
     wall = time.perf_counter() - t0
@@ -105,8 +105,7 @@ def run_stage(
     }
     if extra_metrics:
         manifest.update(extra_metrics)
-    with open(mp, "w") as f:
-        json.dump(manifest, f, indent=1)
+    fsio.write_json(mp, manifest)
     return StageResult(name, stage_dir, int(rows), wall, False, manifest)
 
 
@@ -131,17 +130,12 @@ def write_manifest(
     }
     if extra:
         manifest.update(extra)
-    with open(_manifest_path(stage_dir), "w") as f:
-        json.dump(manifest, f, indent=1)
+    fsio.write_json(_manifest_path(stage_dir), manifest)
 
 
 def write_json(path: str, obj: Any) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1)
-    os.replace(tmp, path)
+    fsio.write_json(path, obj)
 
 
 def read_json(path: str) -> Any:
-    with open(path) as f:
-        return json.load(f)
+    return fsio.read_json(path)

@@ -88,3 +88,17 @@ def embedding_matrix(col, dtype="float64"):
     return np.ascontiguousarray(flat.reshape(n, dim)).astype(
         dtype, copy=False
     )
+
+
+def check_group_budget(n_rows: int, max_rows, *, stage: str, key, hint: str):
+    """Hot-key guard for per-group reducers: a ``map_groups`` task must
+    hold its whole group in one worker's heap, so a pathological key
+    (one user = 1% of a 100-TB event log; one mega band-bucket) OOMs
+    the reducer silently.  Fail LOUD and actionable instead.
+    ``max_rows=None`` disables the guard."""
+    if max_rows is not None and n_rows > max_rows:
+        raise RuntimeError(
+            f"{stage}: group {key!r} holds {n_rows} rows, over the "
+            f"per-group budget of {max_rows} — a single reducer task "
+            f"must materialize this whole group. {hint}"
+        )
