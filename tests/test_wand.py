@@ -77,3 +77,53 @@ def test_search_traversal_wand(idx):
     assert a["score"].tolist() == b["score"].tolist()
     with pytest.raises(ValueError, match="traversal"):
         s.search({"spark"}, traversal="bogus")
+
+
+@pytest.mark.parametrize("mode", ["ref", "bm25"])
+def test_wand_c_kernel_bitwise_parity(idx, mode):
+    """The compiled kernel (data/wand_kernel.c) must match BOTH the
+    Python walk and the TAAT scorer bitwise."""
+    from web_based_search_engine_ray.stages.cwand import load_kernel
+
+    if load_kernel() is None:
+        pytest.skip("no C compiler on this host")
+    s = Searcher(idx)
+    for k in (1, 7, 25):
+        for words in _QUERIES:
+            ids, vals = s.scores_arrays(words, mode=mode)
+            top = _topk_indices(ids, vals, k)
+            ci, cv = s.scores_topk_wand(words, k=k, mode=mode, kernel="c")
+            pi, pv = s.scores_topk_wand(words, k=k, mode=mode, kernel="py")
+            assert ci.tolist() == ids[top].tolist() == pi.tolist()
+            assert np.array_equal(cv, vals[top])
+            assert np.array_equal(cv, pv)
+
+
+def test_wand_c_kernel_small_blocks(idx):
+    from web_based_search_engine_ray.stages.cwand import load_kernel
+
+    if load_kernel() is None:
+        pytest.skip("no C compiler on this host")
+    s = Searcher(idx)
+    s.WAND_BLOCK = 4
+    for words in _QUERIES[:4]:
+        ids, vals = s.scores_arrays(words)
+        top = _topk_indices(ids, vals, 10)
+        ci, _ = s.scores_topk_wand(words, k=10, kernel="c")
+        assert ci.tolist() == ids[top].tolist()
+
+
+def test_wand_kernel_fallbacks(idx):
+    """kernel='auto' must return results even when the compiled path
+    declines (k over compiled capacity); kernel='c' raises then."""
+    from web_based_search_engine_ray.stages import cwand
+
+    s = Searcher(idx)
+    big_k = cwand.MAX_K + 1
+    ids, vals = s.scores_arrays({"spark", "merge"})
+    top = _topk_indices(ids, vals, big_k)
+    gi, _ = s.scores_topk_wand({"spark", "merge"}, k=big_k, kernel="auto")
+    assert gi.tolist() == ids[top].tolist()
+    if cwand.load_kernel() is not None:
+        with pytest.raises(RuntimeError, match="compiled WAND"):
+            s.scores_topk_wand({"spark", "merge"}, k=big_k, kernel="c")

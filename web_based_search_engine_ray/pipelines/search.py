@@ -663,7 +663,8 @@ class Searcher:
     #: posting-entries per block for the WAND traversal's block maxima
     WAND_BLOCK = 1024
 
-    def scores_topk_wand(self, words, k: int, mode: str = "ref"):
+    def scores_topk_wand(self, words, k: int, mode: str = "ref",
+                         kernel: str = "auto"):
         """DAAT **Block-Max WAND** top-k with a bounded min-heap — the
         north-star traversal (Broder et al. WAND; Ding & Suel
         block-max), implemented over the decoded per-term partial
@@ -752,6 +753,28 @@ class Searcher:
             return empty
 
         inv_norm_bound = 1.0 if bm25 else 1.0 / self._min_norm
+
+        # ---- compiled kernel seam: the C walk mirrors the loop below
+        # line for line (data/wand_kernel.c); kernel="auto" uses it
+        # when a C compiler is available, "py" forces this loop,
+        # "c" requires the kernel (tests) ----------------------------
+        if kernel in ("auto", "c"):
+            from web_based_search_engine_ray.stages.cwand import wand_topk_c
+
+            got = wand_topk_c(
+                [(L[1], L[2], L[3], L[4]) for L in lists],
+                bs=bs, bm25=bm25, inv_norm_bound=inv_norm_bound,
+                stat_ids=self._stat_ids, norm=self._norm, k=k,
+            )
+            if got is not None:
+                return got
+            if kernel == "c":
+                raise RuntimeError(
+                    "compiled WAND kernel unavailable (no C compiler "
+                    "or query exceeds compiled capacity); use "
+                    "kernel='auto' or 'py'"
+                )
+
         heap: list[tuple[float, int]] = []  # (score, -doc): root = worst
         while True:
             live = [L for L in lists if L[0] < len(L[1])]
