@@ -445,3 +445,32 @@ def test_hot_key_guards_fire(ray_session, tmp_path):
         connected_components(
             pairs, num_buckets=1, max_group_rows=5
         ).materialize()
+
+
+def test_semantic_dedup_within_groups(ray_session):
+    """SemDeDup composition: pairs only within a group; keep-min per
+    component; the mega-group guard fires."""
+    import ray
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.dedup import (
+        semantic_dedup,
+        semantic_dup_pairs_grouped,
+    )
+
+    # group 0: vecs 0,1 identical, 2 orthogonal; group 1: vec 3
+    # identical to 0 but in ANOTHER group -> never paired with it
+    emb = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]
+    ds = rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "label": pa.array([0, 0, 0, 1], pa.int32()),
+            "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        }
+    ))
+    pairs = semantic_dup_pairs_grouped(ds, threshold=0.9).to_pandas()
+    assert [(r.vec_a, r.vec_b) for r in pairs.itertuples()] == [(0, 1)]
+    kept = sorted(semantic_dedup(ds, threshold=0.9).to_pandas()["vec_id"])
+    assert kept == [0, 2, 3]
+    with pytest.raises(ray.exceptions.RayTaskError, match="semantic"):
+        semantic_dup_pairs_grouped(ds, max_group_vecs=2).materialize()

@@ -1161,3 +1161,67 @@ def embedding_dup_pairs_exact(ds, *, threshold: float = 0.98,
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def semantic_dup_pairs_grouped(ds, *, group_col: str = "label",
+                               threshold: float = 0.9,
+                               id_col: str = "vec_id",
+                               emb_col: str = "embedding",
+                               max_group_vecs: int = 100_000):
+    """SemDeDup-shaped near-dup pairs: exact cosine ≥ τ WITHIN each
+    group (a k-means cluster id — e.g. ``IvfIndex``'s ``cluster``
+    column — or any partition label).  The O(g²) matmul is per GROUP,
+    never corpus-wide: with balanced clusters of size g, total flops
+    are n·g instead of n², which is the whole point of clustering
+    before pairwise comparison.  ``max_group_vecs`` fails loud on a
+    mega-cluster (re-cluster with more centroids)."""
+    from web_based_search_engine_ray.util import check_group_budget
+
+    def pairs(group: pa.Table) -> pa.Table:
+        check_group_budget(
+            len(group), max_group_vecs,
+            stage="semantic_dup_pairs_grouped",
+            key=group[group_col][0].as_py() if len(group) else None,
+            hint="re-cluster with more centroids (the per-group "
+                 "matmul is O(g^2))",
+        )
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        m = embedding_matrix(group[emb_col])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        sim = m @ m.T
+        ai, bi = np.nonzero(np.triu(sim >= threshold, k=1))
+        a, b = ids[ai], ids[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        g = group[group_col][0] if len(group) else None
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, type=pa.int64()),
+                "vec_b": pa.array(hi, type=pa.int64()),
+                "cosine": pa.array(sim[ai, bi], type=pa.float64()),
+                group_col: pa.array(
+                    [g.as_py()] * len(lo), type=group.schema.field(group_col).type
+                ),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(pairs, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, *, group_col: str = "label",
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   max_group_vecs: int = 100_000):
+    """End-to-end semantic dedup (SemDeDup): within-group cosine pairs
+    → connected components → keep the minimum-id member per component.
+    Composition of :func:`semantic_dup_pairs_grouped` and
+    :func:`dedup_keep_min`."""
+    pairs = semantic_dup_pairs_grouped(
+        ds, group_col=group_col, threshold=threshold, id_col=id_col,
+        emb_col=emb_col, max_group_vecs=max_group_vecs,
+    ).map_batches(
+        lambda b: pa.table({"doc_a": b["vec_a"], "doc_b": b["vec_b"]}),
+        batch_format="pyarrow",
+    )
+    return dedup_keep_min(ds, pairs, id_col=id_col)

@@ -1353,6 +1353,64 @@ def _media_real_sql() -> str:
     """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup: within-group cosine ≥ τ pairs
+    (group = the ``label`` column, standing in for a k-means cluster
+    id) → connected components → keep-min — the survivors' vec_ids.
+    Oracle: per-label O(g²) cosine join + recursive closure."""
+    from web_based_search_engine_ray.pipelines.dedup import semantic_dedup
+
+    emb = _embeddings(sf_dir)
+    return semantic_dedup(
+        emb, group_col="label", threshold=0.3
+    ).select_columns(["vec_id"])
+
+
+def q_asof_attribution(sf_dir: str):
+    """Event attribution via the as-of join (``pipelines.joins``):
+    for every click, the user's most recent prior-or-same-instant view
+    (backward as-of, exact matches allowed), plus the gap in seconds.
+    Oracle: DuckDB's native ``ASOF LEFT JOIN``.  (user_id, ts) pairs
+    are unique in the synthetic events table, so the join is
+    deterministic without a tie-break dedup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from web_based_search_engine_ray.pipelines.joins import asof_join
+
+    ev = _events(sf_dir).select_columns(["event_id", "ts", "user_id",
+                                         "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def as_views(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "view_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "view_ts": b["ts"],
+            }
+        )
+
+    views = ev.filter(expr="event_type == 'view'").map_batches(
+        as_views, batch_format="pyarrow"
+    )
+    joined = asof_join(clicks, views, on="ts", by="user_id", suffix="")
+
+    def gap(b: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.subtract(b["ts"], b["view_ts"]), pa.duration("us")
+        )
+        return b.append_column(
+            "gap_s",
+            pc.divide(pc.cast(d, pa.int64()), pa.scalar(1_000_000.0)),
+        )
+
+    return joined.map_batches(gap, batch_format="pyarrow")
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 4
 
@@ -1418,6 +1476,8 @@ def queries():
         "media_features": q_media_features,
         "media_real": q_media_real,
         "media_audio": q_media_audio,
+        "asof_attribution": q_asof_attribution,
+        "semantic_dedup": q_semantic_dedup,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dup_rate_by_source": q_dup_rate_by_source,
         "label_centroids": q_label_centroids,
@@ -2166,6 +2226,52 @@ def oracle_sql():
         "media_features": _media_features_sql(),
         "media_real": _media_real_sql(),
         "media_audio": _media_audio_sql(),
+        # per-label cosine pairs + recursive closure mirrors
+        # pipelines.dedup.semantic_dedup (SemDeDup shape)
+        "semantic_dedup": """
+            WITH RECURSIVE emb AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS emb
+                FROM embeddings
+            ),
+            e0 AS (
+                SELECT a.vec_id AS s, b.vec_id AS d
+                FROM emb a JOIN emb b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+            ),
+            edges AS (
+                SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+            ),
+            reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            dropped AS (
+                SELECT s AS node FROM reach GROUP BY s HAVING MIN(d) < s
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM dropped)
+        """,
+        # DuckDB-native ASOF LEFT JOIN mirrors pipelines.joins.asof_join
+        "asof_attribution": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            views AS (
+                SELECT event_id AS view_id, user_id, ts, ts AS view_ts
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.view_id, v.view_ts,
+                   date_diff('microsecond', v.view_ts, c.ts) / 1000000.0
+                       AS gap_s
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "top_terms_per_lang": f"""
             WITH toks AS (
                 SELECT lang, lower(unnest({_TT_TOKS})) AS term
