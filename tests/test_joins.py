@@ -123,3 +123,61 @@ def test_asof_guard_and_validation(ray_session):
     with pytest.raises(ray.exceptions.RayTaskError, match="asof_join"):
         asof_join(left, right, on="ts", by="user_id",
                   num_buckets=1, max_group_rows=3).materialize()
+
+
+def test_broadcast_range_join(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.joins import (
+        broadcast_range_join,
+    )
+
+    ds = rd.from_arrow(pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "v": pa.array([-1.0, 0.0, 4.99, 5.0, 100.0]),
+        }
+    ))
+    ranges = pd.DataFrame(
+        [{"lo": 0.0, "hi": 5.0, "band": "a"},
+         {"lo": 5.0, "hi": 10.0, "band": "b"}]
+    )
+    out = (
+        broadcast_range_join(ds, ranges, on="v")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # half-open [lo, hi): -1 and 100 fall outside every interval
+    assert out["band_r"].tolist() == [None, "a", "a", "b", None]
+    with pytest.raises(ValueError, match="overlap"):
+        bad = pd.DataFrame(
+            [{"lo": 0.0, "hi": 6.0, "band": "a"},
+             {"lo": 5.0, "hi": 10.0, "band": "b"}]
+        )
+        broadcast_range_join(ds, bad, on="v")
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.events import top_k_per_group
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 25, n),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    got = (
+        top_k_per_group(rd.from_pandas(df), k=3, num_buckets=7)
+        .to_pandas().sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["value", "event_id"], ascending=[False, True])
+        .groupby("user_id").head(3)
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == want["event_id"].tolist()

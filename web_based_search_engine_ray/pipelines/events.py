@@ -210,3 +210,53 @@ def top_users_by_value(ds, *, k: int = 20):
         .aggregate(Sum("part", alias_name="total_value"))
     )
     return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
+
+
+def top_k_per_group(ds, *, group_col: str = "user_id",
+                    order_col: str = "value", k: int = 3,
+                    tie_col: str = "event_id", num_buckets: int = 64,
+                    max_group_rows: int | None = 8_000_000):
+    """Window rank: the top-``k`` rows per group by
+    (``order_col`` desc, ``tie_col`` asc) — ``ROW_NUMBER() OVER
+    (PARTITION BY g ORDER BY v DESC, t) <= k`` without a global sort:
+    one hash-bucket shuffle, then a whole-bucket lexsort +
+    first-k-of-run per group (vectorized, no per-group Python)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        return batch.append_column(
+            "__tk_bucket", pa.array(g % num_buckets, type=pa.int64())
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        from web_based_search_engine_ray.util import check_group_budget
+
+        check_group_budget(
+            len(group), max_group_rows, stage="top_k_per_group",
+            key=int(group["__tk_bucket"][0].as_py()) if len(group) else None,
+            hint="raise num_buckets or pre-aggregate per batch before "
+                 "the shuffle",
+        )
+        g = group[group_col].to_numpy(zero_copy_only=False)
+        v = group[order_col].to_numpy(zero_copy_only=False)
+        t = group[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -v, g))  # group asc, value desc, tie asc
+        sg = g[order]
+        new = np.ones(len(sg), dtype=bool)
+        new[1:] = sg[1:] != sg[:-1]
+        # rank within run = index - start-of-run
+        run_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(sg)), 0)
+        )
+        rank = np.arange(len(sg)) - run_start
+        keep = order[rank < k]
+        out = group.take(pa.array(np.sort(keep)))
+        return out.drop_columns(["__tk_bucket"])
+
+    return (
+        coalesce(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("__tk_bucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )

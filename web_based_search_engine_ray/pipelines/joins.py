@@ -116,3 +116,48 @@ def asof_join(left, right, *, on: str, by: str,
     return tagged.groupby(_BUCKET).map_groups(
         _join_group, batch_format="pyarrow"
     )
+
+
+def broadcast_range_join(ds, ranges, *, on: str, lo_col: str = "lo",
+                         hi_col: str = "hi", suffix: str = "_r"):
+    """LEFT range join against a SMALL interval table: each left row
+    matches the interval with ``lo <= row[on] < hi``.  The interval
+    table must be non-overlapping (validated here — overlap would make
+    the match ambiguous); it is sorted once, ``ray.put`` ONCE, and
+    every task does one vectorized ``searchsorted`` per batch — a
+    broadcast join, NO shuffle (the correct plan whenever one side
+    fits in memory, vs. an interval-keyed exchange).
+
+    ``ranges``: pandas DataFrame with ``lo_col``/``hi_col`` plus value
+    columns (appended with ``suffix``, null when no interval
+    matches)."""
+    import ray
+
+    r = ranges.sort_values(lo_col).reset_index(drop=True)
+    lo = r[lo_col].to_numpy(dtype=np.float64)
+    hi = r[hi_col].to_numpy(dtype=np.float64)
+    if (hi < lo).any():
+        raise ValueError("range table has hi < lo")
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("range table has overlapping intervals")
+    vcols = [c for c in r.columns if c not in (lo_col, hi_col)]
+    vals = {c: r[c].to_numpy() for c in vcols}
+    ref = ray.put((lo, hi, vals))
+
+    def join(batch: pa.Table) -> pa.Table:
+        blo, bhi, bvals = ray.get(ref)
+        v = batch[on].to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        idx = np.searchsorted(blo, v, side="right") - 1
+        idx_c = np.clip(idx, 0, len(blo) - 1)
+        hit = (idx >= 0) & (v < bhi[idx_c])
+        out = batch
+        for c in vcols:
+            col = pd.Series(bvals[c][idx_c]).where(hit, other=None)
+            out = out.append_column(
+                c + suffix, pa.Array.from_pandas(col)
+            )
+        return out
+
+    return ds.map_batches(join, batch_format="pyarrow")

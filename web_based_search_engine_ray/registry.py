@@ -1353,6 +1353,53 @@ def _media_real_sql() -> str:
     """
 
 
+#: (lo, hi, band) intervals shared by the engine query AND the SQL
+#: VALUES mirror — half-open [lo, hi)
+_VALUE_BANDS = [
+    (0.0, 5.0, "low"),
+    (5.0, 20.0, "mid"),
+    (20.0, 100.0, "high"),
+    (100.0, 1000000.0, "extreme"),
+]
+
+
+def _band_values_sql() -> str:
+    return ", ".join(
+        f"({lo!r}, {hi!r}, '{b}')" for lo, hi, b in _VALUE_BANDS
+    )
+
+
+def q_value_bands(sf_dir: str):
+    """Broadcast range join: classify every event's value into a small
+    interval table (``pipelines.joins.broadcast_range_join`` — the
+    small side is ``ray.put`` once, each batch does one vectorized
+    searchsorted; no shuffle).  Oracle: LEFT JOIN ON a VALUES interval
+    table."""
+    from web_based_search_engine_ray.pipelines.joins import (
+        broadcast_range_join,
+    )
+
+    ranges = pd.DataFrame(
+        [{"lo": lo, "hi": hi, "band": b} for lo, hi, b in _VALUE_BANDS]
+    )
+    ev = _events(sf_dir).select_columns(["event_id", "value"])
+    return broadcast_range_join(ev, ranges, on="value", suffix="")
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Window rank without a global sort: top-3 events per user by
+    (value desc, event_id asc) — ``pipelines.events.top_k_per_group``
+    (one hash-bucket shuffle + whole-bucket lexsort).  Oracle:
+    ``QUALIFY ROW_NUMBER()``."""
+    from web_based_search_engine_ray.pipelines.events import top_k_per_group
+
+    ev = _events(sf_dir).select_columns(["event_id", "user_id", "value"])
+    return top_k_per_group(
+        ev, group_col="user_id", order_col="value", k=3,
+        tie_col="event_id",
+    )
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-shaped semantic dedup: within-group cosine ≥ τ pairs
     (group = the ``label`` column, standing in for a k-means cluster
@@ -1478,6 +1525,8 @@ def queries():
         "media_audio": q_media_audio,
         "asof_attribution": q_asof_attribution,
         "semantic_dedup": q_semantic_dedup,
+        "value_bands": q_value_bands,
+        "top_events_per_user": q_top_events_per_user,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dup_rate_by_source": q_dup_rate_by_source,
         "label_centroids": q_label_centroids,
@@ -2226,6 +2275,21 @@ def oracle_sql():
         "media_features": _media_features_sql(),
         "media_real": _media_real_sql(),
         "media_audio": _media_audio_sql(),
+        # interval VALUES table mirrors pipelines.joins.broadcast_range_join
+        "value_bands": f"""
+            SELECT e.event_id, e.value, r.band
+            FROM events e LEFT JOIN (
+                VALUES {_band_values_sql()}
+            ) r(lo, hi, band)
+              ON e.value >= r.lo AND e.value < r.hi
+        """,
+        # QUALIFY window mirror of pipelines.events.top_k_per_group
+        "top_events_per_user": """
+            SELECT event_id, user_id, value FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id
+            ) <= 3
+        """,
         # per-label cosine pairs + recursive closure mirrors
         # pipelines.dedup.semantic_dedup (SemDeDup shape)
         "semantic_dedup": """
