@@ -168,10 +168,10 @@ class IvfIndex:
             # cluster partitions behind — _cluster_vectors would read
             # them alongside the fresh assignment
             import os
-            import shutil
+            from web_based_search_engine_ray.state import fsio
 
-            if os.path.isdir(self.store_dir):
-                shutil.rmtree(self.store_dir)
+            if fsio.isdir(self.store_dir):
+                fsio.rmtree(self.store_dir)
         ds.map_batches(assign, batch_format="pyarrow").write_parquet(
             self.store_dir, partition_cols=["cluster"]
         )
@@ -188,8 +188,10 @@ class IvfIndex:
 
         import pyarrow.dataset as pads
 
+        from web_based_search_engine_ray.state import fsio
+
         part = os.path.join(self.store_dir, f"cluster={cluster}")
-        if not os.path.isdir(part):
+        if not fsio.isdir(part):
             out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
         else:
             t = pads.dataset(part, format="parquet").to_table(
