@@ -115,3 +115,36 @@ def test_stratified_nests_with_sample_fraction(ray_session):
 def test_stratified_guards(ray_session):
     with pytest.raises(ValueError, match="stratum"):
         stratified_sample(_docs_tbl(), {"en": 1.5}, strata_col="lang")
+
+
+def test_grouped_quantiles_matches_per_group_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.stats import (
+        exact_quantiles,
+        grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=600),
+            "v": rng.integers(0, 40, size=600),
+        }
+    )
+    qs = [0.5, 0.9, 0.99]
+    got = grouped_quantiles(
+        rd.from_pandas(df), "v", "g", qs
+    ).sort_values(["group", "q"]).reset_index(drop=True)
+    for g in ("a", "b", "c"):
+        sub = rd.from_pandas(df[df["g"] == g].reset_index(drop=True))
+        want = exact_quantiles(sub, "v", qs)
+        mine = got[got["group"] == g].reset_index(drop=True)
+        assert mine["value"].tolist() == want["value"].tolist()
+        assert mine["n_rows"].tolist() == want["n_rows"].tolist()
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        grouped_quantiles(rd.from_pandas(df), "v", "g", qs, max_distinct=5)

@@ -118,9 +118,9 @@ def pagerank(
         )
 
     def drop_dup_pairs(g: pa.Table) -> pa.Table:
-        df = g.select([src, dst]).to_pandas()
-        df = df.drop_duplicates([src, dst])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native distinct: group_by with no aggregates keeps one
+        # row per (src, dst) — no pandas round-trip in the reducer
+        return g.select([src, dst]).group_by([src, dst]).aggregate([])
 
     if not assume_distinct:
         edges = (

@@ -52,21 +52,29 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
         )
 
     partials = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True]
-        ).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows()):
-            out_rows.append(
-                {
-                    "query_id": int(qid),
-                    "rank": rank,
-                    "vec_id": int(r["vec_id"]),
-                    "cosine": float(r["cosine"]),
-                }
-            )
-    return pd.DataFrame(out_rows)
+    # vectorized driver merge: one lexsort over the (nq x k x blocks)
+    # partials, per-query rank via run offsets, head-k filter
+    q_arr = partials["query_id"].to_numpy()
+    v_arr = partials["vec_id"].to_numpy()
+    c_arr = partials["cosine"].to_numpy()
+    order = np.lexsort((v_arr, -c_arr, q_arr))
+    sq = q_arr[order]
+    new = np.ones(len(sq), dtype=bool)
+    new[1:] = sq[1:] != sq[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(new, np.arange(len(sq)), 0)
+    )
+    rank = np.arange(len(sq)) - run_start
+    keep = rank < k
+    sel = order[keep]
+    return pd.DataFrame(
+        {
+            "query_id": q_arr[sel].astype(np.int64),
+            "rank": rank[keep].astype(np.int64),
+            "vec_id": v_arr[sel].astype(np.int64),
+            "cosine": c_arr[sel].astype(np.float64),
+        }
+    )
 
 
 class IvfIndex:

@@ -120,3 +120,67 @@ def corpus_stats(docs, *, by: list[str] = ("lang", "source"),
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, col: str, group_col: str, qs: list[float], *,
+                      max_distinct: int = 5_000_000) -> pd.DataFrame:
+    """Exact per-group quantiles (same pinned rank definition as
+    :func:`exact_quantiles`): one streaming (group, value)-count
+    combiner, ``groupby((group, value)).sum`` — the exchange moves
+    |groups × distinct values| rows, never |rows| — then a vectorized
+    driver walk over the cumulative counts per group.  Returns
+    ``(group, q, value, n_rows)``."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile must be in (0, 1], got {q}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"g": batch[group_col], "value": batch[col]}
+        ).group_by(["g", "value"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"g": g["g"], "value": g["value"], "n_part": g["count_all"]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "value"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    t = merged.to_pandas()  # |groups x distinct| rows — bounded
+    if len(t) > max_distinct:
+        raise ValueError(
+            f"grouped_quantiles: {len(t)} (group, value) rows exceeds "
+            f"max_distinct={max_distinct}; use a sketch for continuous "
+            "columns"
+        )
+    t = t.sort_values(["g", "value"], kind="mergesort").reset_index(drop=True)
+    gv = t["g"].to_numpy()
+    nv = t["n"].to_numpy()
+    new = np.ones(len(t), dtype=bool)
+    new[1:] = gv[1:] != gv[:-1]
+    starts = np.flatnonzero(new)
+    bounds = np.append(starts, len(t))
+    out_g, out_q, out_v, out_n = [], [], [], []
+    vals = t["value"].to_numpy()
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        cum = nv[a:b].cumsum()
+        n = int(cum[-1])
+        ranks = np.ceil(
+            np.asarray(qs, dtype=np.float64) * n
+        ).astype(np.int64)
+        idx = np.searchsorted(cum, ranks, side="left")
+        out_g.extend([gv[a]] * len(qs))
+        out_q.extend(qs)
+        out_v.extend(vals[a + idx])
+        out_n.extend([n] * len(qs))
+    return pd.DataFrame(
+        {
+            "group": pd.Series(out_g),
+            "q": pd.Series(out_q, dtype="float64"),
+            "value": pd.Series(out_v).astype(t["value"].dtype),
+            "n_rows": pd.Series(out_n, dtype="int64"),
+        }
+    )

@@ -1110,6 +1110,44 @@ def q_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
 
 
+def q_lang_length_quantiles(sf_dir: str):
+    """Exact per-language P50/P90/P99 of doc length — the grouped
+    variant of the value-histogram quantile operator
+    (``pipelines.stats.grouped_quantiles``; the exchange moves
+    |langs × distinct lengths| rows)."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.stats import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles(ds, "n_chars", "lang", _QUANTILE_QS)
+
+
+def _lang_length_quantiles_sql() -> str:
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
+    return f"""
+        WITH vc AS (
+            SELECT lang, n_chars AS value, COUNT(*) AS c
+            FROM documents GROUP BY lang, n_chars
+        ),
+        cum AS (
+            SELECT lang, value,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY value) AS cumc
+            FROM vc
+        ),
+        tot AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        qs(q) AS (VALUES {qs_rows})
+        SELECT t.lang AS "group", q.q AS q,
+               (SELECT MIN(c.value) FROM cum c
+                WHERE c.lang = t.lang AND c.cumc >= CEIL(q.q * t.n))
+                   AS value,
+               t.n AS n_rows
+        FROM tot t CROSS JOIN qs q
+    """
+
+
 def q_corpus_stats(sf_dir: str):
     """Corpus composition profile per (lang, source): doc count, total
     and mean chars — pre-aggregated combiner + small groupby
@@ -1527,6 +1565,7 @@ def queries():
         "semantic_dedup": q_semantic_dedup,
         "value_bands": q_value_bands,
         "top_events_per_user": q_top_events_per_user,
+        "lang_length_quantiles": q_lang_length_quantiles,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dup_rate_by_source": q_dup_rate_by_source,
         "label_centroids": q_label_centroids,
@@ -2275,6 +2314,7 @@ def oracle_sql():
         "media_features": _media_features_sql(),
         "media_real": _media_real_sql(),
         "media_audio": _media_audio_sql(),
+        "lang_length_quantiles": _lang_length_quantiles_sql(),
         # interval VALUES table mirrors pipelines.joins.broadcast_range_join
         "value_bands": f"""
             SELECT e.event_id, e.value, r.band
