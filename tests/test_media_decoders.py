@@ -107,3 +107,33 @@ def test_media_pipeline_real_decoders(ray_session):
     )
     wout = media_pipeline(wavs, decoder="wav", batch_size=1).to_pandas()
     assert wout["sample_rate"].tolist() == [8000]
+
+
+def test_pnmseq_frame_sampling(ray_session):
+    """Concatenated-PPM 'video': parse all frames, sample every
+    stride-th, per-sampled-frame mean luma features."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_based_search_engine_ray.pipelines.multimodal import (
+        FEATURE_DIM,
+        PnmSeqDecoder,
+    )
+
+    w, h = 4, 3
+    frames = []
+    for f in range(5):
+        px = np.full(w * h, f * 10, dtype=np.uint8)
+        frames.append(b"P5 %d %d 255\n" % (w, h) + px.tobytes())
+    payload = b"".join(frames)
+    d = PnmSeqDecoder(stride=2)
+    out = d.decode_batch([payload])
+    assert out["n_frames"][0].as_py() == 5
+    assert out["n_sampled"][0].as_py() == 3  # frames 0, 2, 4
+    assert out["width"][0].as_py() == 4
+    assert out["mean_luma"][0].as_py() == pytest.approx((0 + 20 + 40) / 3)
+    feats = out["features"][0].as_py()
+    assert feats[:3] == [0.0, 20.0, 40.0]
+    assert len(feats) == FEATURE_DIM
+    with pytest.raises(ValueError, match="stride"):
+        PnmSeqDecoder(stride=0)

@@ -242,7 +242,72 @@ class WavDecoder:
         }
 
 
+class PnmSeqDecoder:
+    """REAL video-shaped decoder: the payload is a SEQUENCE of
+    concatenated binary PPM/PGM frames (the layout a raw frame-dump
+    produces), and decode = frame-SAMPLING — parse frame headers, keep
+    every ``stride``-th frame, per-sampled-frame mean luma as the
+    feature vector.  This is the brief's video frame-sample operator
+    with stdlib-only decode: an ffmpeg/PyAV-backed decoder drops into
+    the identical registry shape when the codec libs exist."""
+
+    schema = [
+        ("n_frames", pa.int32()),
+        ("n_sampled", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("mean_luma", pa.float64()),
+        ("features", pa.list_(pa.float32())),
+    ]
+
+    def __init__(self, stride: int = 2):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def decode_batch(self, payloads: list[bytes]) -> dict[str, pa.Array]:
+        nf, ns, ws, hs, lumas, feats = [], [], [], [], [], []
+        for p in payloads:
+            off, frames = 0, []
+            w = h = 0
+            while off < len(p):
+                magic, w, h, _mx, data = PnmDecoder._parse_header(p[off:])
+                ch = 3 if magic == b"P6" else 1
+                need = w * h * ch
+                px = np.frombuffer(p, dtype=np.uint8, count=need,
+                                   offset=off + data)
+                frames.append((ch, px))
+                off += data + need
+            sampled = frames[::self.stride]
+            means = []
+            for ch, px in sampled:
+                if ch == 3:
+                    rgb = px.reshape(-1, 3).astype(np.float64)
+                    luma = (0.299 * rgb[:, 0] + 0.587 * rgb[:, 1]
+                            + 0.114 * rgb[:, 2])
+                else:
+                    luma = px.astype(np.float64)
+                means.append(float(luma.mean()) if luma.size else 0.0)
+            fv = np.zeros(FEATURE_DIM, dtype=np.float32)
+            fv[:min(FEATURE_DIM, len(means))] = means[:FEATURE_DIM]
+            nf.append(len(frames))
+            ns.append(len(sampled))
+            ws.append(w)
+            hs.append(h)
+            lumas.append(float(np.mean(means)) if means else 0.0)
+            feats.append(fv.tolist())
+        return {
+            "n_frames": pa.array(nf, type=pa.int32()),
+            "n_sampled": pa.array(ns, type=pa.int32()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "mean_luma": pa.array(lumas, type=pa.float64()),
+            "features": pa.array(feats, type=pa.list_(pa.float32())),
+        }
+
+
 register_decoder("fake", FakeDecoder)
+register_decoder("pnmseq", PnmSeqDecoder)
 register_decoder("strict", StrictDecoder)
 register_decoder("pnm", PnmDecoder)
 register_decoder("wav", WavDecoder)

@@ -1291,6 +1291,95 @@ def q_media_real(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+_SEQ_W = _SEQ_H = 8   # frame size of the synthesized PGM sequence
+_SEQ_FRAMES = 6
+_SEQ_STRIDE = 2
+
+
+def q_media_frames(sf_dir: str):
+    """REAL video-shaped frame sampling through the registry seam:
+    each doc gets a sequence of ``_SEQ_FRAMES`` concatenated binary
+    PGM frames (frame ``f`` pixel ``i`` = ``(doc_id + 7f + i) % 256``),
+    decoded by the stdlib ``pnmseq`` decoder (parse frames, keep every
+    ``_SEQ_STRIDE``-th, per-frame mean luma features); the sampled
+    mean-luma math is mirrored closed-form in SQL."""
+    import pyarrow as pa
+
+    from web_based_search_engine_ray.pipelines.multimodal import (
+        PnmSeqDecoder,
+        media_pipeline,
+    )
+
+    w, h, F = _SEQ_W, _SEQ_H, _SEQ_FRAMES
+    header = b"P5 %d %d 255\n" % (w, h)
+    n = w * h
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        base = np.arange(n, dtype=np.int64)
+        payloads = []
+        for d in ids:
+            frames = b"".join(
+                header
+                + ((int(d) + 7 * f + base) % 256).astype(np.uint8).tobytes()
+                for f in range(F)
+            )
+            payloads.append(frames)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    media = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = media_pipeline(
+        media, decoder=lambda: PnmSeqDecoder(stride=_SEQ_STRIDE),
+        batch_size=64,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_frames": pa.compute.cast(batch["n_frames"], pa.int64()),
+                "n_sampled": pa.compute.cast(
+                    batch["n_sampled"], pa.int64()
+                ),
+                "width": pa.compute.cast(batch["width"], pa.int64()),
+                "height": pa.compute.cast(batch["height"], pa.int64()),
+                "mean_luma": pa.compute.round(
+                    batch["mean_luma"], ndigits=9
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _media_frames_sql() -> str:
+    n = _SEQ_W * _SEQ_H
+    sampled = ", ".join(
+        str(f) for f in range(0, _SEQ_FRAMES, _SEQ_STRIDE)
+    )
+    n_sampled = len(range(0, _SEQ_FRAMES, _SEQ_STRIDE))
+    return f"""
+        SELECT doc_id,
+               CAST({_SEQ_FRAMES} AS BIGINT) AS n_frames,
+               CAST({n_sampled} AS BIGINT) AS n_sampled,
+               CAST({_SEQ_W} AS BIGINT) AS width,
+               CAST({_SEQ_H} AS BIGINT) AS height,
+               ROUND((SELECT AVG(CAST((doc_id + 7 * f.f + i.i) % 256
+                                      AS DOUBLE))
+                      FROM (SELECT unnest([{sampled}]) AS f) f,
+                           (SELECT unnest(range({n})) AS i) i), 9)
+                   AS mean_luma
+        FROM documents
+    """
+
+
 _WAV_N = 800       # samples per synthesized clip
 _WAV_RATE = 8000   # Hz → 0.1 s clips
 
@@ -1561,6 +1650,7 @@ def queries():
         "media_features": q_media_features,
         "media_real": q_media_real,
         "media_audio": q_media_audio,
+        "media_frames": q_media_frames,
         "asof_attribution": q_asof_attribution,
         "semantic_dedup": q_semantic_dedup,
         "value_bands": q_value_bands,
@@ -2314,6 +2404,7 @@ def oracle_sql():
         "media_features": _media_features_sql(),
         "media_real": _media_real_sql(),
         "media_audio": _media_audio_sql(),
+        "media_frames": _media_frames_sql(),
         "lang_length_quantiles": _lang_length_quantiles_sql(),
         # interval VALUES table mirrors pipelines.joins.broadcast_range_join
         "value_bands": f"""
