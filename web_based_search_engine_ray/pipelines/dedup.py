@@ -1066,10 +1066,14 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
         return ds.map_batches(keep, batch_format="pyarrow")
 
     # ---- bucketed anti-join path (drop set too big to broadcast) ----
+    # spill_dir on a real cluster must be SHARED storage (an fsspec
+    # URI works end to end); the tempfile default is single-node
     import os
     import tempfile
 
     import pyarrow.dataset as pads
+
+    from web_based_search_engine_ray.state import fsio
 
     spill = spill_dir or tempfile.mkdtemp(prefix="keepmin_", dir="/tmp")
 
@@ -1095,7 +1099,7 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
         bkt = int(group["__km_bucket"][0].as_py())
         out = group.drop_columns(["__km_bucket"])
         part = os.path.join(spill, f"__km_bucket={bkt}")
-        if not os.path.isdir(part):
+        if not fsio.isdir(part):
             return out
         g = np.unique(
             pads.dataset(part, format="parquet")
