@@ -1015,7 +1015,10 @@ def _keep_mask(ids: np.ndarray, gone: np.ndarray) -> np.ndarray:
 def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
                    broadcast_limit: int = 20_000_000,
                    n_buckets: int = 64,
-                   spill_dir: str | None = None):
+                   spill_dir: str | None = None,
+                   max_group_rows: int | None = 32_000_000,
+                   cc_num_buckets: int = 64,
+                   cc_max_group_rows: int | None = 16_000_000):
     """End-to-end fuzzy dedup: given near-dup ``pairs`` (from any of
     the pair generators), keep only the minimum-id member of every
     connected component.  Docs in no pair survive untouched.
@@ -1034,7 +1037,12 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
       (task-side discovery; the full drop set never centralizes)."""
     import ray
 
-    comp = connected_components(pairs)
+    # CC sizing is caller-controllable: at the billions-of-dups scale
+    # that needs the anti-join finalize, the CC buckets need sizing too
+    comp = connected_components(
+        pairs, num_buckets=cc_num_buckets,
+        max_group_rows=cc_max_group_rows,
+    )
 
     def _drops(b: pa.Table) -> pa.Table:
         d = b.filter(pc.invert(pc.equal(b["node"], b["component"])))
@@ -1096,6 +1104,14 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
         )
 
     def _anti(group: pa.Table) -> pa.Table:
+        from web_based_search_engine_ray.util import check_group_budget
+
+        check_group_budget(
+            len(group), max_group_rows, stage="dedup_keep_min.anti_join",
+            key=int(group["__km_bucket"][0].as_py()) if len(group) else None,
+            hint="raise n_buckets (each anti-join group holds "
+                 "corpus/n_buckets rows) or max_group_rows",
+        )
         bkt = int(group["__km_bucket"][0].as_py())
         out = group.drop_columns(["__km_bucket"])
         part = os.path.join(spill, f"__km_bucket={bkt}")

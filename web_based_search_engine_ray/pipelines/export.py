@@ -84,7 +84,14 @@ def export_dataset(ds, out_dir: str, *, fmt: str = "parquet",
             elif isinstance(v, (bool, np.bool_)):
                 lit = str(bool(v))
             elif isinstance(v, (int, float, np.integer, np.floating)):
-                lit = repr(v.item() if hasattr(v, "item") else v)
+                fv = v.item() if hasattr(v, "item") else v
+                if isinstance(fv, float) and not np.isfinite(fv):
+                    raise TypeError(
+                        f"non-finite float partition value {fv!r} "
+                        f"cannot be rendered as a filter literal "
+                        f"(NaN != NaN would silently drop its rows)"
+                    )
+                lit = repr(fv)
             else:
                 raise TypeError(
                     f"unsupported partition value type for JSONL "

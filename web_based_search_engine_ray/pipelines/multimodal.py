@@ -133,12 +133,16 @@ class PnmDecoder:
     ]
 
     @staticmethod
-    def _parse_header(p: bytes):
+    def _parse_header(p: bytes, start: int = 0):
         """(magic, width, height, maxval, data_offset) — PNM headers
-        are whitespace-separated ASCII tokens with ``#`` comments."""
-        if p[:2] not in (b"P5", b"P6"):
-            raise ValueError(f"not a binary PGM/PPM payload: {p[:2]!r}")
-        tokens, i, n = [], 2, len(p)
+        are whitespace-separated ASCII tokens with ``#`` comments.
+        ``start`` parses a header mid-buffer (frame sequences) without
+        copying the tail; ``data_offset`` is ABSOLUTE into ``p``."""
+        if p[start:start + 2] not in (b"P5", b"P6"):
+            raise ValueError(
+                f"not a binary PGM/PPM payload: {p[start:start + 2]!r}"
+            )
+        tokens, i, n = [], start + 2, len(p)
         while len(tokens) < 3:
             while i < n and p[i:i + 1].isspace():
                 i += 1
@@ -157,7 +161,7 @@ class PnmDecoder:
         w, h, maxval = tokens
         if maxval > 255:
             raise ValueError("16-bit PNM not supported")
-        return p[:2], w, h, maxval, i
+        return p[start:start + 2], w, h, maxval, i
 
     def decode_batch(self, payloads: list[bytes]) -> dict[str, pa.Array]:
         ws, hs, cs, lumas, feats = [], [], [], [], []
@@ -271,13 +275,14 @@ class PnmSeqDecoder:
             off, frames = 0, []
             w = h = 0
             while off < len(p):
-                magic, w, h, _mx, data = PnmDecoder._parse_header(p[off:])
+                # offset parse: no per-frame copy of the payload tail
+                magic, w, h, _mx, data = PnmDecoder._parse_header(p, off)
                 ch = 3 if magic == b"P6" else 1
                 need = w * h * ch
                 px = np.frombuffer(p, dtype=np.uint8, count=need,
-                                   offset=off + data)
+                                   offset=data)
                 frames.append((ch, px))
-                off += data + need
+                off = data + need
             sampled = frames[::self.stride]
             means = []
             for ch, px in sampled:

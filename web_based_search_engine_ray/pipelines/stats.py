@@ -55,13 +55,14 @@ def exact_quantiles(ds, col: str, qs: list[float], *,
         .groupby("value")
         .aggregate(Sum("n_part", alias_name="n"))
     )
-    t = merged.to_pandas()  # |distinct| rows — bounded by contract
-    if len(t) > max_distinct:
+    n_distinct = merged.count()  # distributed count BEFORE collecting
+    if n_distinct > max_distinct:
         raise ValueError(
-            f"exact_quantiles: {len(t)} distinct values in {col!r} "
+            f"exact_quantiles: {n_distinct} distinct values in {col!r} "
             f"exceeds max_distinct={max_distinct}; use a sketch for "
             "continuous columns"
         )
+    t = merged.to_pandas()  # bounded by the guard above
     t = t.sort_values("value", kind="mergesort").reset_index(drop=True)
     cum = t["n"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0
@@ -149,13 +150,14 @@ def grouped_quantiles(ds, col: str, group_col: str, qs: list[float], *,
         .groupby(["g", "value"])
         .aggregate(Sum("n_part", alias_name="n"))
     )
-    t = merged.to_pandas()  # |groups x distinct| rows — bounded
-    if len(t) > max_distinct:
+    n_rows = merged.count()  # distributed count BEFORE collecting
+    if n_rows > max_distinct:
         raise ValueError(
-            f"grouped_quantiles: {len(t)} (group, value) rows exceeds "
+            f"grouped_quantiles: {n_rows} (group, value) rows exceeds "
             f"max_distinct={max_distinct}; use a sketch for continuous "
             "columns"
         )
+    t = merged.to_pandas()  # bounded by the guard above
     t = t.sort_values(["g", "value"], kind="mergesort").reset_index(drop=True)
     gv = t["g"].to_numpy()
     nv = t["n"].to_numpy()

@@ -281,7 +281,24 @@ def q_docmeta(sf_dir: str):
 
 
 # ------------------------------------------------- stemmed SQL oracles
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _stem_map_values_for(sf_dir: str) -> str:
+    return _stem_map_values_uncached(sf_dir)
+
+
 def _stem_map_values() -> str:
+    """Cached per sf dir: oracle_sql() builds BOTH stemmed oracles per
+    call, and the corpus scan + full-vocab stemming should run once."""
+    sf_dir = os.environ.get(
+        "WBSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    return _stem_map_values_for(sf_dir)
+
+
+def _stem_map_values_uncached(sf_dir: str) -> str:
     """(raw → stemmed) VALUES rows covering the ENTIRE distinct raw
     vocabulary of the oracle corpus (body tokens + synthesized title
     tokens).  The stop-stem normalizer is a pure function, so its
@@ -297,9 +314,6 @@ def _stem_map_values() -> str:
         stem_word,
     )
 
-    sf_dir = os.environ.get(
-        "WBSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )

@@ -37,11 +37,26 @@ _lib = None
 _load_failed = False
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir — a world-writable shared path would
+    let another local user pre-plant a same-named .so that dlopen
+    would execute."""
+    d = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"wbse_wand_{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid():
+        raise OSError(f"kernel cache dir {d} owned by uid {st.st_uid}")
+    os.chmod(d, 0o700)
+    return d
+
+
 def _compile() -> str | None:
     with open(_SRC, "rb") as f:
         src = f.read()
     tag = hashlib.md5(src).hexdigest()[:16]
-    so = f"/tmp/wbse_wand_{tag}.so"
+    so = os.path.join(_cache_dir(), f"wand_{tag}.so")
     if os.path.exists(so):
         return so
     tmp = f"{so}.tmp.{os.getpid()}"  # pid suffix: concurrent worker

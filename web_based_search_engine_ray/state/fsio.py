@@ -115,13 +115,18 @@ def rmtree(path: str, *, ignore_errors: bool = False) -> None:
 
 def replace(src: str, dst: str) -> None:
     """Rename: atomic locally; copy-semantics mv on object stores
-    (callers rely on idempotent convergence, not atomicity, there)."""
+    (callers rely on idempotent convergence, not atomicity, there).
+    Directory moves need ``recursive=True`` on generic fsspec backends
+    (only LocalFileSystem's ``mv`` handles directories implicitly)."""
     if not is_uri(src) and not is_uri(dst):
         os.replace(src, dst)
         return
     fs, s = _fs(src)
     _, d = _fs(dst)
-    fs.mv(s, d)
+    if fs.isdir(s):
+        fs.mv(s, d, recursive=True)
+    else:
+        fs.mv(s, d)
 
 
 def getsize(path: str) -> int:
