@@ -148,3 +148,38 @@ def test_grouped_quantiles_matches_per_group_exact(ray_session):
 
     with pytest.raises(ValueError, match="max_distinct"):
         grouped_quantiles(rd.from_pandas(df), "v", "g", qs, max_distinct=5)
+
+
+def test_histogram_quantiles_sketch(ray_session):
+    """Fixed-grid sketch: within one bucket width of exact, and
+    parallelism-independent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.stats import (
+        histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(21)
+    v = rng.gamma(2.0, 50.0, size=5000)  # continuous, skewed
+    qs = [0.5, 0.9, 0.99]
+    got = histogram_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": v}), override_num_blocks=8),
+        "v", qs, bins=2048,
+    )
+    width = (v.max() - v.min()) / 2048
+    for q, val in zip(qs, got["value"]):
+        exact = np.quantile(v, q, method="inverted_cdf")
+        assert abs(val - exact) <= 2 * width + 1e-9, (q, val, exact)
+    # parallelism independence: different block count, same values
+    got2 = histogram_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": v}), override_num_blocks=3),
+        "v", qs, bins=2048,
+    )
+    assert got["value"].tolist() == got2["value"].tolist()
+    # constant column: width falls back to 1.0, all quantiles = max+? edge
+    gotc = histogram_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": [5.0] * 50})), "v", [0.5]
+    )
+    assert len(gotc) == 1 and gotc["n_rows"][0] == 50

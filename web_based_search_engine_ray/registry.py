@@ -1162,6 +1162,58 @@ def _lang_length_quantiles_sql() -> str:
     """
 
 
+_HIST_BINS = 4096
+
+
+def q_value_quantiles_sketch(sf_dir: str):
+    """Approximate P50/P90/P99 of the CONTINUOUS events.value column
+    via the deterministic fixed-grid histogram sketch
+    (``pipelines.stats.histogram_quantiles`` — the scale path the
+    exact-quantile guards point at; error ≤ one bucket width, and the
+    grid arithmetic is mirrored exactly in SQL so the sketch is
+    oracle-checkable, unlike a randomized KLL/t-digest)."""
+    from web_based_search_engine_ray.pipelines.stats import (
+        histogram_quantiles,
+    )
+
+    ev = _events(sf_dir).select_columns(["value"])
+    return histogram_quantiles(ev, "value", _QUANTILE_QS, bins=_HIST_BINS)
+
+
+def _value_quantiles_sketch_sql() -> str:
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
+    b = _HIST_BINS
+    return f"""
+        WITH mm AS (
+            SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+        ),
+        grid AS (
+            SELECT mn, CASE WHEN mx > mn THEN (mx - mn) / {b}
+                            ELSE 1.0 END AS width
+            FROM mm
+        ),
+        bk AS (
+            SELECT LEAST(CAST(FLOOR((e.value - g.mn) / g.width)
+                              AS BIGINT), {b} - 1) AS bucket
+            FROM events e, grid g
+        ),
+        vc AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
+        cum AS (
+            SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cumc
+            FROM vc
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM events),
+        qs(q) AS (VALUES {qs_rows})
+        SELECT q.q AS q,
+               ROUND((SELECT ANY_VALUE(g.mn)
+                             + ANY_VALUE(g.width) * (MIN(c.bucket) + 1)
+                      FROM cum c, grid g, tot
+                      WHERE c.cumc >= CEIL(q.q * tot.n)), 9) AS value,
+               (SELECT n FROM tot) AS n_rows
+        FROM qs q
+    """
+
+
 def q_corpus_stats(sf_dir: str):
     """Corpus composition profile per (lang, source): doc count, total
     and mean chars — pre-aggregated combiner + small groupby
@@ -1670,6 +1722,7 @@ def queries():
         "value_bands": q_value_bands,
         "top_events_per_user": q_top_events_per_user,
         "lang_length_quantiles": q_lang_length_quantiles,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dup_rate_by_source": q_dup_rate_by_source,
         "label_centroids": q_label_centroids,
@@ -2420,6 +2473,7 @@ def oracle_sql():
         "media_audio": _media_audio_sql(),
         "media_frames": _media_frames_sql(),
         "lang_length_quantiles": _lang_length_quantiles_sql(),
+        "value_quantiles_sketch": _value_quantiles_sketch_sql(),
         # interval VALUES table mirrors pipelines.joins.broadcast_range_join
         "value_bands": f"""
             SELECT e.event_id, e.value, r.band
