@@ -76,3 +76,37 @@ def test_build_search_roundtrip_file_uri(ray_session, sf_dir):
     assert all(s["skipped"] for s in report["stages"])
     shutil.rmtree("/tmp/fsio_uri_idx", ignore_errors=True)
     shutil.rmtree("/tmp/fsio_plain_idx", ignore_errors=True)
+
+
+def test_update_index_over_file_uri(ray_session, tmp_path):
+    """Incremental update against a ``file://`` root exercises the
+    fsio directory-swap path (``fsio.replace`` with recursive fsspec
+    moves) end to end: the updated URI index must search-match a
+    plain-path full rebuild of the updated corpus."""
+    from tests.test_update_index import _corpus_v1, _corpus_v2
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.pipelines.update_index import (
+        update_index,
+    )
+
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4, num_buckets=4, doc_shards=4,
+    )
+    uri = f"file://{tmp_path}/inc_uri"
+    full = str(tmp_path / "full_plain")
+    build_index(_corpus_v1, uri, cfg, input_key="v1", resume=False)
+    report = update_index(_corpus_v2, uri, cfg, input_key="v2")
+    assert report["update"]["affected_shards"] == [0]
+    build_index(_corpus_v2, full, cfg, input_key="v2-full", resume=False)
+
+    s_uri = Searcher(uri)
+    s_full = Searcher(full)
+    for words in ({"spark", "merge"}, {"freshly", "updated"},
+                  {"sparkly", "merges"}):
+        a = s_uri.search(words, k=10**9, hydrate=False)
+        b = s_full.search(words, k=10**9, hydrate=False)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["score"].tolist() == b["score"].tolist()
