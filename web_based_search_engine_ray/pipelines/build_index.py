@@ -134,18 +134,27 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
         inputs = [p for p in paths if not p.endswith("lww-compacted.parquet")]
         if fsio.exists(comp):
             # A prior attempt of this task completed its compaction
-            # (``fsio.replace`` below is atomic locally, so an existing ``comp``
-            # is always a COMPLETE output); any remaining input files
-            # are leftovers of its interrupted remove loop.  Re-running
+            # (``fsio.replace`` is atomic locally; on URI backends it is
+            # copy→verify→delete, but a crash MID-COPY can still leave a
+            # torn ``comp`` with the ``.tmp`` source intact — so before
+            # trusting it and DELETING the inputs, validate the parquet
+            # footer).  Remaining input files are leftovers of a
+            # completed attempt's interrupted remove loop.  Re-running
             # must converge on the same state, never delete the output
             # (Ray re-executes tasks on worker loss / lineage
             # reconstruction).  ``dups_removed`` for a resumed shard is
             # reported as 0 — the stats row is diagnostic only.
-            for p in inputs:
-                fsio.remove(p)
-            n = fsio.parquet_num_rows(comp)
-            shards.append(shard); rows_out.append(n); dups_out.append(0)
-            continue
+            try:
+                n = fsio.parquet_num_rows(comp)  # reads+checks footer
+            except Exception:
+                # torn copy: discard it and fall through to recompact
+                # from the (still intact) inputs
+                fsio.remove(comp)
+            else:
+                for p in inputs:
+                    fsio.remove(p)
+                shards.append(shard); rows_out.append(n); dups_out.append(0)
+                continue
         if not inputs:
             shards.append(shard); rows_out.append(0); dups_out.append(0)
             continue

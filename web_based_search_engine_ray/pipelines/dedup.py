@@ -1050,7 +1050,11 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
             {"drop_id": pc.cast(d["node"], pa.int64())}
         )
 
-    drop_ds = comp.map_batches(_drops, batch_format="pyarrow")
+    # materialize ONCE: the count() guard and the collect/spill below
+    # would otherwise each re-execute the whole pairs→CC pipeline
+    drop_ds = comp.map_batches(
+        _drops, batch_format="pyarrow"
+    ).materialize()
     n_drop = drop_ds.count()
 
     if n_drop <= broadcast_limit:
@@ -1094,6 +1098,15 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
     drop_ds.map_batches(
         _bucket_drop, batch_format="pyarrow"
     ).write_parquet(spill, partition_cols=["__km_bucket"])
+    # sentinel: lets anti-join tasks distinguish "this bucket has no
+    # drops" (root visible, subdir absent → legitimately keep all)
+    # from "spill root not visible from this worker" (driver-local
+    # /tmp on a multi-node cluster → MUST fail loudly, or drops are
+    # silently never applied)
+    with fsio.open_file(
+        os.path.join(spill, "_KEEPMIN_SPILL_OK"), "w"
+    ) as f:
+        f.write("ok")
 
     def _bucket_docs(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(
@@ -1114,9 +1127,16 @@ def dedup_keep_min(ds, pairs, *, id_col: str = "doc_id",
         )
         bkt = int(group["__km_bucket"][0].as_py())
         out = group.drop_columns(["__km_bucket"])
+        if not fsio.isfile(os.path.join(spill, "_KEEPMIN_SPILL_OK")):
+            raise RuntimeError(
+                f"dedup_keep_min anti-join: spill root {spill!r} is not "
+                "visible from this worker (sentinel missing). On a "
+                "multi-node cluster pass spill_dir= on SHARED storage "
+                "(an fsspec URI); the tempfile default is single-node."
+            )
         part = os.path.join(spill, f"__km_bucket={bkt}")
         if not fsio.isdir(part):
-            return out
+            return out  # root visible, bucket empty → genuinely no drops
         g = np.unique(
             pads.dataset(part, format="parquet")
             .to_table(columns=["drop_id"])["drop_id"]

@@ -276,7 +276,18 @@ class PnmSeqDecoder:
             w = h = 0
             while off < len(p):
                 # offset parse: no per-frame copy of the payload tail
-                magic, w, h, _mx, data = PnmDecoder._parse_header(p, off)
+                magic, fw, fh, _mx, data = PnmDecoder._parse_header(p, off)
+                if frames and (fw, fh) != (w, h):
+                    # mixed-dimension sequences would silently misreport
+                    # width/height (last frame's) and mean_luma
+                    # (mean-of-means != pixel mean when frame sizes
+                    # differ) — reject loudly instead
+                    raise ValueError(
+                        "PnmSeqDecoder: non-uniform frame dimensions in "
+                        f"sequence ({w}x{h} then {fw}x{fh}); all frames "
+                        "must share dimensions"
+                    )
+                w, h = fw, fh
                 ch = 3 if magic == b"P6" else 1
                 need = w * h * ch
                 px = np.frombuffer(p, dtype=np.uint8, count=need,

@@ -54,6 +54,9 @@ def exact_quantiles(ds, col: str, qs: list[float], *,
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("value")
         .aggregate(Sum("n_part", alias_name="n"))
+        # materialize ONCE: the count() guard and the collect share an
+        # execution instead of re-running the combiner+groupby twice
+        .materialize()
     )
     n_distinct = merged.count()  # distributed count BEFORE collecting
     if n_distinct > max_distinct:
@@ -149,6 +152,9 @@ def grouped_quantiles(ds, col: str, group_col: str, qs: list[float], *,
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["g", "value"])
         .aggregate(Sum("n_part", alias_name="n"))
+        # materialize ONCE (see exact_quantiles): guard + collect share
+        # a single execution of the combiner+groupby
+        .materialize()
     )
     n_rows = merged.count()  # distributed count BEFORE collecting
     if n_rows > max_distinct:

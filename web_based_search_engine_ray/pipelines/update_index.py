@@ -223,12 +223,12 @@ def update_index(
     # ---- rewrite extracted/: old minus (updated ∪ removed), plus delta ---
     # touched urls are bounded by the update size (fresh + removed), so
     # the broadcast set is delta-sized, never index-sized
-    urls_ref = ray.put(fresh_urls | removed_urls)
+    urls_ref = ray.put(pa.array(sorted(fresh_urls | removed_urls)))
 
     def drop_updated(batch: pa.Table) -> pa.Table:
-        known = ray.get(urls_ref)
-        keep = [u not in known for u in batch["url"].to_pylist()]
-        return batch.filter(pa.array(keep))
+        known = ray.get(urls_ref)  # zero-copy Arrow array from plasma
+        keep = pc.invert(pc.is_in(batch["url"], value_set=known))
+        return batch.filter(keep)
 
     from web_based_search_engine_ray.pipelines.build_index import (
         _add_doc_shard,

@@ -284,29 +284,33 @@ def q_docmeta(sf_dir: str):
 import functools
 
 
+def _oracle_sf_dir() -> str:
+    """The corpus dir the stemmed oracles inline their vocabulary
+    from: ``WBSE_ORACLE_SF_DIR`` (default sf0.01 — the driver's
+    correctness scale).  Resolved ONCE per ``oracle_sql()`` call and
+    threaded explicitly into the SQL builders; if the SQL then runs
+    against a corpus with tokens outside this vocabulary, the in-SQL
+    OOV guard raises instead of silently dropping them."""
+    return os.environ.get("WBSE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 @functools.lru_cache(maxsize=4)
 def _stem_map_values_for(sf_dir: str) -> str:
-    return _stem_map_values_uncached(sf_dir)
-
-
-def _stem_map_values() -> str:
     """Cached per sf dir: oracle_sql() builds BOTH stemmed oracles per
     call, and the corpus scan + full-vocab stemming should run once."""
-    sf_dir = os.environ.get(
-        "WBSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    return _stem_map_values_for(sf_dir)
+    return _stem_map_values_uncached(sf_dir)
 
 
 def _stem_map_values_uncached(sf_dir: str) -> str:
     """(raw → stemmed) VALUES rows covering the ENTIRE distinct raw
     vocabulary of the oracle corpus (body tokens + synthesized title
     tokens).  The stop-stem normalizer is a pure function, so its
-    lookup table over the finite vocabulary IS the normalizer —
-    stopword-dropped/blank tokens are simply absent, making the SQL
-    join both the stemmer and the stopword filter.  The corpus dir
-    comes from ``WBSE_ORACLE_SF_DIR`` (default sf0.01 — the driver's
-    correctness scale)."""
+    lookup table over the finite vocabulary IS the normalizer.
+    Stopword-dropped/blank tokens are kept with a NULL stem (filtered
+    in the join), so that a raw token entirely ABSENT from the map is
+    unambiguously out-of-vocabulary — the SQL guard can then tell
+    "stopword" from "this oracle was built for a different corpus"
+    and fail loudly instead of corrupting df/N/doc_len."""
     import pyarrow.parquet as pq
 
     from web_based_search_engine_ray.functions.tokenize import (
@@ -325,32 +329,44 @@ def _stem_map_values_uncached(sf_dir: str) -> str:
     rows = []
     for w in sorted(vocab):
         s = stem_word(w)
-        if s is not None:
-            rows.append(f"('{w}', '{s}')")  # tokens are [a-zA-Z0-9_-]+
+        # tokens are [a-zA-Z0-9_-]+ so no quoting hazards
+        rows.append(f"('{w}', '{s}')" if s is not None else f"('{w}', NULL)")
     return ", ".join(rows)
 
 
-def _stemmed_score_ctes() -> str:
+def _stemmed_score_ctes(sf_dir: str) -> str:
     """Stemmed-engine mirror of ``_SCORE_CTES``: raw token streams are
-    routed through the inlined stem map (stopwords drop out of the
-    join), positions re-numbered over the POST-FILTER sequence
-    (``Indexer.java:117-140`` — dropped tokens take no position), then
-    the identical tf/df/N/tf_max/doc_len algebra.  N counts indexable
-    docs only (docs whose every token is a stopword are unindexed,
-    ``InvertedIndex.java:50-51``)."""
+    routed through the inlined stem map (stopwords carry a NULL stem
+    and drop in the join filter), positions re-numbered over the
+    POST-FILTER sequence (``Indexer.java:117-140`` — dropped tokens
+    take no position), then the identical tf/df/N/tf_max/doc_len
+    algebra.  N counts indexable docs only (docs whose every token is
+    a stopword are unindexed, ``InvertedIndex.java:50-51``).  The
+    ``oov`` guard makes the oracle refuse (DuckDB ``error()``) any
+    corpus whose vocabulary the inlined stem map does not cover,
+    instead of silently treating unknown tokens as stopwords."""
     return f"""
-WITH stemmap(raw, stem) AS (VALUES {_stem_map_values()}),
+WITH stemmap(raw, stem) AS (VALUES {_stem_map_values_for(sf_dir)}),
 body_raw AS ({_BODY_TOKENS}),
 title_raw AS ({_TITLE_TOKENS}),
+oov AS (
+    SELECT COUNT(*) AS n_missing FROM (
+        SELECT DISTINCT term FROM body_raw
+        UNION SELECT DISTINCT term FROM title_raw
+    ) v LEFT JOIN stemmap m ON v.term = m.raw
+    WHERE m.raw IS NULL
+),
 body_toks AS (
     SELECT b.doc_id, m.stem AS term,
            ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS pos
     FROM body_raw b JOIN stemmap m ON b.term = m.raw
+    WHERE m.stem IS NOT NULL
 ),
 title_toks AS (
     SELECT t.doc_id, m.stem AS term,
            ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.pos) - 1 AS pos
     FROM title_raw t JOIN stemmap m ON t.term = m.raw
+    WHERE m.stem IS NOT NULL
 ),
 tf AS (
     SELECT doc_id, term,
@@ -363,7 +379,15 @@ tf AS (
     ) GROUP BY doc_id, term
 ),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+nn AS (
+    SELECT CASE WHEN (SELECT n_missing FROM oov) > 0
+                THEN CAST(error('stemmed oracle vocabulary does not '
+                     || 'cover this corpus; set WBSE_ORACLE_SF_DIR to '
+                     || 'the sf dir the oracle runs against')
+                     AS BIGINT)
+                ELSE COUNT(DISTINCT doc_id) END AS n
+    FROM tf
+),
 tfmax AS (SELECT doc_id, MAX(title_tf + body_tf) AS tf_max FROM tf GROUP BY doc_id),
 doclen AS (
     SELECT t.doc_id,
@@ -429,19 +453,19 @@ def _stemmed_select(words, phrase, *, qid: int | None = None) -> str:
     """
 
 
-def _stemmed_search_sql() -> str:
-    return _stemmed_score_ctes() + _stemmed_select(
+def _stemmed_search_sql(sf_dir: str) -> str:
+    return _stemmed_score_ctes(sf_dir) + _stemmed_select(
         set(_STEMMED_WORDS), ()
     )
 
 
-def _stemmed_conformance_sql() -> str:
+def _stemmed_conformance_sql(sf_dir: str) -> str:
     branches = [
         sel
         for qid, (words, phrase) in enumerate(_STEMMED_BATTERY)
         if (sel := _stemmed_select(words, phrase, qid=qid))
     ]
-    return _stemmed_score_ctes() + " UNION ALL ".join(branches)
+    return _stemmed_score_ctes(sf_dir) + " UNION ALL ".join(branches)
 
 
 _STEMMED_WORDS = ("sparking", "merged", "windows")
@@ -2291,8 +2315,8 @@ def oracle_sql():
         # as a VALUES table (pure-function lookup over the finite
         # corpus vocabulary), making the full stop-stem TF-IDF path
         # hash-checkable like tfidf_search
-        "search_stemmed": _stemmed_search_sql(),
-        "stemmed_conformance": _stemmed_conformance_sql(),
+        "search_stemmed": _stemmed_search_sql(_oracle_sf_dir()),
+        "stemmed_conformance": _stemmed_conformance_sql(_oracle_sf_dir()),
         "docmeta": f"""
             SELECT doc_id, {_SQL_URL} AS url, {_SQL_TITLE} AS title,
                    TIMESTAMP '2024-01-01 00:00:00'

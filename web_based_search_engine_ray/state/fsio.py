@@ -16,8 +16,10 @@ Design rules:
   the scheme so results feed straight back into pyarrow/Ray readers
   (both accept URIs).
 - ``replace`` is atomic on the local fast path (``os.replace``); on
-  object stores a rename is copy+delete and the caller's idempotence
-  (manifests, LWW compaction convergence) carries the correctness.
+  object stores it is an explicit copy → size-verify → delete-source
+  sequence, so a mid-move crash can never leave a torn destination
+  without the source still intact (callers treat an existing dst as a
+  COMPLETE output when resuming).
 
 Parquet READS throughout the package go through ``pyarrow.dataset`` /
 ``pq.read_table`` / ``ray.data.read_parquet``, which already accept
@@ -114,19 +116,42 @@ def rmtree(path: str, *, ignore_errors: bool = False) -> None:
 
 
 def replace(src: str, dst: str) -> None:
-    """Rename: atomic locally; copy-semantics mv on object stores
-    (callers rely on idempotent convergence, not atomicity, there).
-    Directory moves need ``recursive=True`` on generic fsspec backends
-    (only LocalFileSystem's ``mv`` handles directories implicitly)."""
+    """Rename: atomic locally; on object stores a rename is copy+delete
+    and NOT atomic, so do an explicit copy → size-verify → delete-source
+    sequence.  A crash mid-sequence can then only leave (a) a partial
+    destination WITH the source intact (resume re-runs the replace), or
+    (b) both complete — never a deleted source behind a torn
+    destination, which is what callers that treat an existing dst as a
+    COMPLETE output (LWW-compaction resume, update_index partition
+    swaps) must be protected from.
+    Directory copies need ``recursive=True`` on generic fsspec backends
+    (only LocalFileSystem handles directories implicitly)."""
     if not is_uri(src) and not is_uri(dst):
         os.replace(src, dst)
         return
     fs, s = _fs(src)
     _, d = _fs(dst)
     if fs.isdir(s):
-        fs.mv(s, d, recursive=True)
+        src_files = sorted(fs.find(s))
+        fs.copy(s, d, recursive=True)
+        # verify: every source file exists at dst with the same size
+        for sf in src_files:
+            rel = sf[len(s):].lstrip("/")
+            df = d.rstrip("/") + "/" + rel
+            if not fs.exists(df) or fs.size(df) != fs.size(sf):
+                raise OSError(
+                    f"fsio.replace: copy verify failed for {df!r} "
+                    f"(from {sf!r}); source left intact"
+                )
+        fs.rm(s, recursive=True)
     else:
-        fs.mv(s, d)
+        fs.copy(s, d)
+        if not fs.exists(d) or fs.size(d) != fs.size(s):
+            raise OSError(
+                f"fsio.replace: copy verify failed for {d!r} "
+                f"(from {s!r}); source left intact"
+            )
+        fs.rm_file(s)
 
 
 def getsize(path: str) -> int:
