@@ -96,23 +96,29 @@ def hash_split(ds, ratios: dict[str, float], *, key_col: str = "doc_id",
 
 
 def sample_fraction(ds, frac: float, *, key_col: str = "doc_id",
-                    salt: str = "v1"):
+                    salt: str = "v1", mark: str | None = None):
     """Deterministic ``frac`` down-sample (hash-gated, reproducible
-    across runs/parallelism — unlike ``Dataset.random_sample``)."""
+    across runs/parallelism — unlike ``Dataset.random_sample``).
+    With ``mark=<col>`` the gate is APPENDED as a bool column instead
+    of filtering — same predicate, audit/suite-friendly output."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     cut = round(frac * SPLIT_BUCKETS)
 
     def keep(batch: pa.Table) -> pa.Table:
         b = split_buckets(batch[key_col].to_pylist(), salt)
-        return batch.filter(pa.array(b < cut))
+        gate = pa.array(b < cut)
+        if mark is not None:
+            return batch.append_column(mark, gate)
+        return batch.filter(gate)
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def stratified_sample(ds, fractions: dict[str, float], *,
                       strata_col: str, key_col: str = "doc_id",
-                      salt: str = "v1", default: float = 0.0):
+                      salt: str = "v1", default: float = 0.0,
+                      mark: str | None = None):
     """Per-stratum deterministic down-sample: keep each row iff its
     hash bucket clears its stratum's fraction (strata absent from
     ``fractions`` use ``default``).  Same hash-gate guarantees as
@@ -144,7 +150,10 @@ def stratified_sample(ds, fractions: dict[str, float], *,
             dtype=np.int64,
             count=len(strata),
         )
-        return batch.filter(pa.array(b < cut))
+        gate = pa.array(b < cut)
+        if mark is not None:
+            return batch.append_column(mark, gate)
+        return batch.filter(gate)
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

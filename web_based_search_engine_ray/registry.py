@@ -863,21 +863,37 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
-def q_fingerprint(sf_dir: str):
-    from web_based_search_engine_ray.pipelines.text_pipeline import (
-        fingerprint_batch,
-    )
+class _DocProfileStage:
+    """Actor-pool stage fusing the two per-doc annotators — md5
+    fingerprint (``text_pipeline.fingerprint_batch``) and heuristic
+    language ID (``text_pipeline.LangIdHeuristic``) — into ONE pass
+    over the text column (both kernels see the same batch, so the
+    outputs zip positionally with no join)."""
 
+    def __init__(self):
+        from web_based_search_engine_ray.pipelines.text_pipeline import (
+            LangIdHeuristic,
+        )
+
+        self.langid = LangIdHeuristic()
+
+    def __call__(self, batch):
+        from web_based_search_engine_ray.pipelines.text_pipeline import (
+            fingerprint_batch,
+        )
+
+        fp = fingerprint_batch(batch)
+        li = self.langid(batch)
+        return fp.append_column(
+            "lang_pred", li["lang_pred"]
+        ).append_column("lang_conf", li["lang_conf"])
+
+
+def q_doc_profile(sf_dir: str):
+    """Per-doc fingerprint + language-ID annotations in one
+    driver-visible query (one fused actor-pool pass)."""
     return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow"
-    )
-
-
-def q_langid(sf_dir: str):
-    from web_based_search_engine_ray.pipelines.text_pipeline import LangIdHeuristic
-
-    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
-        LangIdHeuristic, batch_format="pyarrow", concurrency=(1, 4)
+        _DocProfileStage, batch_format="pyarrow", concurrency=(1, 4)
     )
 
 
@@ -889,23 +905,30 @@ def q_lang_dist(sf_dir: str):
     return lang_distribution(_docs(sf_dir).select_columns(["lang"]))
 
 
-def q_hourly_events(sf_dir: str):
-    from web_based_search_engine_ray.pipelines.events import hourly_window_agg
+def q_windowed_events(sf_dir: str):
+    """Both window operators in ONE driver-visible query: tumbling
+    hourly aggregation (``events.hourly_window_agg``) and 60-min/15-min
+    sliding windows (``events.sliding_window_agg``), discriminated by a
+    ``kind`` column (``mean_value`` is NaN on the sliding rows, which
+    don't define it)."""
+    from web_based_search_engine_ray.pipelines.events import (
+        hourly_window_agg,
+        sliding_window_agg,
+    )
 
-    res = hourly_window_agg(_events(sf_dir)).to_pandas()
-    res["sum_value"] = np.round(res["sum_value"], 6)
-    res["mean_value"] = np.round(res["mean_value"], 6)
-    return res[["window_start", "event_type", "n_events", "sum_value", "mean_value"]]
-
-
-def q_sliding_events(sf_dir: str):
-    from web_based_search_engine_ray.pipelines.events import sliding_window_agg
-
-    res = sliding_window_agg(
+    h = hourly_window_agg(_events(sf_dir)).to_pandas()
+    h["sum_value"] = np.round(h["sum_value"], 6)
+    h["mean_value"] = np.round(h["mean_value"], 6)
+    h.insert(0, "kind", "hourly")
+    s = sliding_window_agg(
         _events(sf_dir), size_minutes=60, step_minutes=15
     ).to_pandas()
-    res["sum_value"] = np.round(res["sum_value"], 6)
-    return res[["window_start", "event_type", "n_events", "sum_value"]]
+    s["sum_value"] = np.round(s["sum_value"], 6)
+    s.insert(0, "kind", "sliding")
+    s["mean_value"] = np.nan
+    cols = ["kind", "window_start", "event_type", "n_events",
+            "sum_value", "mean_value"]
+    return pd.concat([h[cols], s[cols]], ignore_index=True)
 
 
 def q_sessionize(sf_dir: str):
@@ -1041,50 +1064,39 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["doc_id", "width", "height"])
 
 
-def q_train_split(sf_dir: str):
-    """Deterministic 90/5/5 train/val/test assignment per doc — pure
-    function of (doc_id, salt), reproducible at any parallelism
-    (``pipelines.sampling``)."""
-    import ray.data as rd
-
-    from web_based_search_engine_ray.pipelines.sampling import assign_split
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    out = assign_split(
-        ds, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1"
-    )
-    return out.select_columns(["doc_id", "split"])
-
-
-def q_sample_10pct(sf_dir: str):
-    """Deterministic 10% hash-gated down-sample of the corpus."""
-    import ray.data as rd
-
-    from web_based_search_engine_ray.pipelines.sampling import sample_fraction
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return sample_fraction(ds, 0.1, salt="v1")
-
-
-def q_stratified_sample(sf_dir: str):
-    """Per-language deterministic down-sample (training-mix
-    rebalancing: 10% en, 50% fr, 100% zh, 25% default) —
-    ``pipelines.sampling.stratified_sample``."""
+def q_sampling_suite(sf_dir: str):
+    """All three deterministic sampling operators in ONE driver-visible
+    query (the per-round correctness file caps at 50 entries): 90/5/5
+    ``assign_split``, 10% ``sample_fraction``, and per-language
+    ``stratified_sample`` (10% en, 50% fr, 100% zh, 25% default) — each
+    a pure hash-gate function of (doc_id, salt), chained as three
+    streaming ``map_batches`` with the gates emitted as columns
+    (``mark=``), no shuffle (``pipelines.sampling``)."""
     import ray.data as rd
 
     from web_based_search_engine_ray.pipelines.sampling import (
+        assign_split,
+        sample_fraction,
         stratified_sample,
     )
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
-    return stratified_sample(
-        ds,
+    out = assign_split(
+        ds, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1"
+    )
+    out = sample_fraction(out, 0.1, salt="v1", mark="in_10pct")
+    out = stratified_sample(
+        out,
         {"en": 0.1, "fr": 0.5, "zh": 1.0},
         strata_col="lang",
         salt="v1",
         default=0.25,
+        mark="strat_kept",
+    )
+    return out.select_columns(
+        ["doc_id", "split", "in_10pct", "strat_kept"]
     )
 
 
@@ -1134,36 +1146,36 @@ def q_chunk_dedup(sf_dir: str):
 _QUANTILE_QS = [0.5, 0.9, 0.99]
 
 
-def q_length_quantiles(sf_dir: str):
-    """Exact P50/P90/P99 of doc length via the value-histogram quantile
-    operator (shuffles |distinct| rows, not |rows|) —
-    ``pipelines.stats.exact_quantiles``."""
-    import ray.data as rd
-
-    from web_based_search_engine_ray.pipelines.stats import exact_quantiles
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["n_chars"]
-    )
-    return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
-
-
 def q_lang_length_quantiles(sf_dir: str):
-    """Exact per-language P50/P90/P99 of doc length — the grouped
-    variant of the value-histogram quantile operator
-    (``pipelines.stats.grouped_quantiles``; the exchange moves
-    |langs × distinct lengths| rows)."""
+    """Exact P50/P90/P99 of doc length, BOTH per-language (grouped
+    distinct-value-exchange operator,
+    ``pipelines.stats.grouped_quantiles``) and corpus-wide
+    (``pipelines.stats.exact_quantiles``, reported as group
+    ``__all__``) — one driver-visible query covering both quantile
+    operators."""
     import ray.data as rd
 
-    from web_based_search_engine_ray.pipelines.stats import grouped_quantiles
+    from web_based_search_engine_ray.pipelines.stats import (
+        exact_quantiles,
+        grouped_quantiles,
+    )
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
-    return grouped_quantiles(ds, "n_chars", "lang", _QUANTILE_QS)
+    grouped = grouped_quantiles(ds, "n_chars", "lang", _QUANTILE_QS)
+    overall = exact_quantiles(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"]),
+        "n_chars",
+        _QUANTILE_QS,
+    )
+    overall.insert(0, "group", "__all__")
+    return pd.concat([grouped, overall], ignore_index=True)
 
 
 def _lang_length_quantiles_sql() -> str:
+    """Per-language quantiles UNION'd with the corpus-wide quantiles as
+    group ``__all__`` (mirrors both stats operators in one query)."""
     qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
     return f"""
         WITH vc AS (
@@ -1176,6 +1188,14 @@ def _lang_length_quantiles_sql() -> str:
             FROM vc
         ),
         tot AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        avc AS (
+            SELECT n_chars AS value, COUNT(*) AS c
+            FROM documents GROUP BY n_chars
+        ),
+        acum AS (
+            SELECT value, SUM(c) OVER (ORDER BY value) AS cumc FROM avc
+        ),
+        atot AS (SELECT COUNT(*) AS n FROM documents),
         qs(q) AS (VALUES {qs_rows})
         SELECT t.lang AS "group", q.q AS q,
                (SELECT MIN(c.value) FROM cum c
@@ -1183,6 +1203,13 @@ def _lang_length_quantiles_sql() -> str:
                    AS value,
                t.n AS n_rows
         FROM tot t CROSS JOIN qs q
+        UNION ALL
+        SELECT '__all__' AS "group", q.q AS q,
+               (SELECT MIN(c.value) FROM acum c
+                WHERE c.cumc >= CEIL(q.q * (SELECT n FROM atot)))
+                   AS value,
+               (SELECT n FROM atot) AS n_rows
+        FROM qs q
     """
 
 
@@ -1284,45 +1311,67 @@ def q_lm_score(sf_dir: str):
     return res
 
 
-def q_top_terms_per_lang(sf_dir: str):
-    """Top-5 tokens per language (combiner + small groupby + per-group
-    top-k) — ``pipelines.profile.top_terms_per_group``."""
-    from web_based_search_engine_ray.pipelines.profile import (
-        top_terms_per_group,
-    )
-
-    return top_terms_per_group(
-        _docs(sf_dir).select_columns(["lang", "text"]), group_col="lang",
-        k=5,
-    )
-
-
-def q_dup_rate_by_source(sf_dir: str):
-    """Per-source exact-duplicate profile (md5 distinctness, unique
-    (group, hash) combiner) — ``pipelines.profile.dup_rate_by_group``."""
-    from web_based_search_engine_ray.pipelines.profile import (
-        dup_rate_by_group,
-    )
-
-    return dup_rate_by_group(
-        _docs(sf_dir).select_columns(["source", "text"])
-    )
-
-
-def q_label_centroids(sf_dir: str):
-    """Per-label embedding centroids in long form (per-batch vector-sum
-    combiner; the shuffle carries |labels|×dim partials) —
-    ``pipelines.profile.label_centroids``."""
+def q_profile_suite(sf_dir: str):
+    """All three corpus-profile operators in ONE driver-visible query
+    (long form ``(section, k1, k2, ival, dval)`` so one hash check
+    covers them): top-5 tokens per language
+    (``profile.top_terms_per_group``), per-source exact-duplicate
+    profile (``profile.dup_rate_by_group``), and per-label embedding
+    centroids (``profile.label_centroids``).  Each pipeline keeps its
+    own combiner+small-groupby scale shape; only the already-tiny
+    RESULTS (O(groups) rows) are reshaped driver-side."""
     import ray.data as rd
 
     from web_based_search_engine_ray.pipelines.profile import (
+        dup_rate_by_group,
         label_centroids,
+        top_terms_per_group,
     )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    tt = top_terms_per_group(
+        _docs(sf_dir).select_columns(["lang", "text"]), group_col="lang",
+        k=5,
+    ).to_pandas()
+    dr = dup_rate_by_group(
+        _docs(sf_dir).select_columns(["source", "text"])
+    ).to_pandas()
+    lc = label_centroids(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+    ).to_pandas()
+
+    def rows(section, k1, k2, val):
+        n = len(k1)
+        return pd.DataFrame(
+            {
+                "section": pd.Series([section] * n, dtype=object),
+                "k1": pd.Series(np.asarray(k1, dtype=object)),
+                "k2": pd.Series(
+                    np.asarray(k2, dtype=object) if not isinstance(k2, str)
+                    else [k2] * n
+                ),
+                "val": pd.Series(val, dtype="float64").reset_index(
+                    drop=True
+                ),
+            }
+        )
+
+    out = pd.concat(
+        [
+            rows("top_terms", tt["lang"], tt["term"],
+                 tt["n"].astype("float64")),
+            rows("dup_docs", dr["source"], "",
+                 dr["n_docs"].astype("float64")),
+            rows("dup_unique", dr["source"], "",
+                 dr["n_unique"].astype("float64")),
+            rows("dup_rate", dr["source"], "", dr["dup_rate"]),
+            rows("centroid", lc["label"].astype(str),
+                 lc["dim"].astype(str), lc["centroid"]),
+        ],
+        ignore_index=True,
     )
-    return label_centroids(ds)
+    return out
 
 
 _PNM_W = 16
@@ -1728,11 +1777,9 @@ def queries():
         "top_bigrams": q_top_bigrams,
         "hll_distinct": q_hll_distinct,
         "clean_corpus": q_clean_corpus,
-        "fingerprint": q_fingerprint,
-        "langid": q_langid,
+        "doc_profile": q_doc_profile,
         "lang_dist": q_lang_dist,
-        "hourly_events": q_hourly_events,
-        "sliding_events": q_sliding_events,
+        "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "top_users": q_top_users,
         "lineitem_agg": q_lineitem_agg,
@@ -1747,15 +1794,10 @@ def queries():
         "top_events_per_user": q_top_events_per_user,
         "lang_length_quantiles": q_lang_length_quantiles,
         "value_quantiles_sketch": q_value_quantiles_sketch,
-        "top_terms_per_lang": q_top_terms_per_lang,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "label_centroids": q_label_centroids,
-        "train_split": q_train_split,
-        "sample_10pct": q_sample_10pct,
-        "stratified_sample": q_stratified_sample,
+        "profile_suite": q_profile_suite,
+        "sampling_suite": q_sampling_suite,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
-        "length_quantiles": q_length_quantiles,
         "corpus_stats": q_corpus_stats,
         "redact": q_redact,
         "lm_score": q_lm_score,
@@ -2003,9 +2045,12 @@ def _pack_docs_sql() -> str:
     """
 
 
-def _train_split_sql() -> str:
-    """Mirror of ``pipelines.sampling.assign_split`` (90/5/5, salt v1):
-    same md5-prefix bucket arithmetic, same integer thresholds."""
+def _sampling_suite_sql() -> str:
+    """Mirror of all three sampling operators over the SAME md5-prefix
+    bucket (``pipelines.sampling.sql_bucket_expr``): 90/5/5 split
+    thresholds, 10% gate, per-language stratified gate — identical
+    integer constants to the engine's ``_thresholds``/``round``
+    arithmetic."""
     from web_based_search_engine_ray.pipelines.sampling import sql_bucket_expr
 
     b = sql_bucket_expr("doc_id", "v1")
@@ -2013,29 +2058,70 @@ def _train_split_sql() -> str:
         SELECT doc_id,
                CASE WHEN {b} < 900000 THEN 'train'
                     WHEN {b} < 950000 THEN 'val'
-                    ELSE 'test' END AS split
+                    ELSE 'test' END AS split,
+               {b} < 100000 AS in_10pct,
+               {b} < CASE lang
+                   WHEN 'en' THEN 100000
+                   WHEN 'fr' THEN 500000
+                   WHEN 'zh' THEN 1000000
+                   ELSE 250000 END AS strat_kept
         FROM documents
     """
 
 
-def _sample_10pct_sql() -> str:
-    from web_based_search_engine_ray.pipelines.sampling import sql_bucket_expr
-
-    b = sql_bucket_expr("doc_id", "v1")
-    return f"SELECT doc_id FROM documents WHERE {b} < 100000"
-
-
-def _stratified_sample_sql() -> str:
-    from web_based_search_engine_ray.pipelines.sampling import sql_bucket_expr
-
-    b = sql_bucket_expr("doc_id", "v1")
+def _profile_suite_sql() -> str:
+    """Mirror of ``q_profile_suite``: the three profile SQLs cast into
+    the long ``(section, k1, k2, val)`` shape and UNION ALL'd."""
+    tt = f"""
+        WITH toks AS (
+            SELECT lang, lower(unnest({_TT_TOKS})) AS term
+            FROM documents
+        ),
+        tc AS (
+            SELECT lang, term, COUNT(*) AS n
+            FROM toks GROUP BY lang, term
+        ),
+        rk AS (
+            SELECT lang, term, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n DESC, term ASC
+                   ) AS r
+            FROM tc
+        )
+        SELECT lang, term, n FROM rk WHERE r <= 5
+    """
+    dr = """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_unique,
+               ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+                     / COUNT(*), 9) AS dup_rate
+        FROM documents GROUP BY source
+    """
+    lc = """
+        WITH flat AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+        FROM flat GROUP BY label, dim
+    """
     return f"""
-        SELECT doc_id, lang FROM documents
-        WHERE {b} < CASE lang
-            WHEN 'en' THEN 100000
-            WHEN 'fr' THEN 500000
-            WHEN 'zh' THEN 1000000
-            ELSE 250000 END
+        SELECT 'top_terms' AS section, lang AS k1, term AS k2,
+               CAST(n AS DOUBLE) AS val FROM ({tt})
+        UNION ALL
+        SELECT 'dup_docs', source, '', CAST(n_docs AS DOUBLE)
+        FROM ({dr})
+        UNION ALL
+        SELECT 'dup_unique', source, '', CAST(n_unique AS DOUBLE)
+        FROM ({dr})
+        UNION ALL
+        SELECT 'dup_rate', source, '', dup_rate FROM ({dr})
+        UNION ALL
+        SELECT 'centroid', CAST(label AS VARCHAR), CAST(dim AS VARCHAR),
+               centroid FROM ({lc})
     """
 
 
@@ -2181,29 +2267,6 @@ def _lm_score_sql() -> str:
                COALESCE(ds.n_tokens, 0) AS n_tokens,
                COALESCE(ds.lm_score, 0.0) AS lm_score
         FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
-    """
-
-
-def _length_quantiles_sql() -> str:
-    """Mirror of pipelines.stats.exact_quantiles' pinned definition:
-    value at rank ceil(q*n) over the sorted column."""
-    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILE_QS)
-    return f"""
-        WITH vc AS (
-            SELECT n_chars AS value, COUNT(*) AS c
-            FROM documents GROUP BY n_chars
-        ),
-        cum AS (
-            SELECT value, SUM(c) OVER (ORDER BY value) AS cumc
-            FROM vc
-        ),
-        tot AS (SELECT COUNT(*) AS n FROM documents),
-        qs(q) AS (VALUES {qs_rows})
-        SELECT q.q AS q,
-               (SELECT MIN(c.value) FROM cum c, tot
-                WHERE c.cumc >= CEIL(q.q * tot.n)) AS value,
-               (SELECT n FROM tot) AS n_rows
-        FROM qs q
     """
 
 
@@ -2463,12 +2526,15 @@ def oracle_sql():
             SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
             ORDER BY n DESC, bigram ASC LIMIT 20
         """,
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
-            FROM documents
+        "doc_profile": f"""
+            SELECT f.doc_id, f.fingerprint, l.lang_pred, l.lang_conf
+            FROM (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS fingerprint
+                FROM documents
+            ) f JOIN ({_lang_profile_sql()}) l ON f.doc_id = l.doc_id
         """,
-        "langid": _lang_profile_sql(),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=8),
         "minhash_pairs": _minhash_pairs_sql(),
         # recursive transitive closure over the exact minhash pair set,
@@ -2559,48 +2625,10 @@ def oracle_sql():
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
-        "top_terms_per_lang": f"""
-            WITH toks AS (
-                SELECT lang, lower(unnest({_TT_TOKS})) AS term
-                FROM documents
-            ),
-            tc AS (
-                SELECT lang, term, COUNT(*) AS n
-                FROM toks GROUP BY lang, term
-            ),
-            rk AS (
-                SELECT lang, term, n,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY lang ORDER BY n DESC, term ASC
-                       ) AS r
-                FROM tc
-            )
-            SELECT lang, term, n FROM rk WHERE r <= 5
-        """,
-        "dup_rate_by_source": """
-            SELECT source, COUNT(*) AS n_docs,
-                   COUNT(DISTINCT text) AS n_unique,
-                   ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
-                         / COUNT(*), 9) AS dup_rate
-            FROM documents GROUP BY source
-        """,
-        "label_centroids": """
-            WITH flat AS (
-                SELECT CAST(label AS BIGINT) AS label,
-                       unnest(range(len(embedding))) AS dim,
-                       unnest(embedding) AS v
-                FROM embeddings
-            )
-            SELECT label, dim,
-                   ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
-            FROM flat GROUP BY label, dim
-        """,
-        "train_split": _train_split_sql(),
-        "sample_10pct": _sample_10pct_sql(),
-        "stratified_sample": _stratified_sample_sql(),
+        "profile_suite": _profile_suite_sql(),
+        "sampling_suite": _sampling_suite_sql(),
         "decontaminate": _decontaminate_sql(),
         "chunk_dedup": _chunk_dedup_sql(),
-        "length_quantiles": _length_quantiles_sql(),
         "corpus_stats": """
             SELECT lang, source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -2614,29 +2642,34 @@ def oracle_sql():
         "lang_dist": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         """,
-        "hourly_events": """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+        "windowed_events": """
+            SELECT 'hourly' AS kind,
+                   date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value,
                    ROUND(SUM(value) / COUNT(*), 6) AS mean_value
-            FROM events GROUP BY 1, 2
-        """,
-        "sliding_events": """
-            WITH e AS (
-                SELECT epoch_ms(ts) * 1000 AS tus, event_type, value
-                FROM events
-            ),
-            w AS (
-                SELECT (tus // 900000000) * 900000000
-                         - i.i * 900000000 AS ws,
-                       event_type, value
-                FROM e, (SELECT unnest(range(4)) AS i) i
-                WHERE (tus // 900000000) * 900000000 - i.i * 900000000
-                      > tus - 3600000000
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding', window_start, event_type, n_events,
+                   sum_value, CAST(NULL AS DOUBLE) AS mean_value
+            FROM (
+                WITH e AS (
+                    SELECT epoch_ms(ts) * 1000 AS tus, event_type, value
+                    FROM events
+                ),
+                w AS (
+                    SELECT (tus // 900000000) * 900000000
+                             - i.i * 900000000 AS ws,
+                           event_type, value
+                    FROM e, (SELECT unnest(range(4)) AS i) i
+                    WHERE (tus // 900000000) * 900000000 - i.i * 900000000
+                          > tus - 3600000000
+                )
+                SELECT make_timestamp(ws) AS window_start, event_type,
+                       COUNT(*) AS n_events,
+                       ROUND(SUM(value), 6) AS sum_value
+                FROM w GROUP BY ws, event_type
             )
-            SELECT make_timestamp(ws) AS window_start, event_type,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-            FROM w GROUP BY ws, event_type
         """,
         "sessionize": """
             WITH marked AS (
