@@ -474,3 +474,77 @@ def test_semantic_dedup_within_groups(ray_session):
     assert kept == [0, 2, 3]
     with pytest.raises(ray.exceptions.RayTaskError, match="semantic"):
         semantic_dup_pairs_grouped(ds, max_group_vecs=2).materialize()
+
+
+def test_brute_force_topk_driver_intake_bounded(ray_session):
+    """1000 queries x many blocks: the per-query groupby merge must cap
+    what reaches the driver at nq*k rows, and the final result must
+    match a single-machine numpy reference exactly."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.similarity import (
+        _normalize,
+        _topk_partials_merged,
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, nq, k = 2000, 8, 1000, 3
+    emb = rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(32)  # many blocks
+    q = emb[:nq]
+
+    merged = _topk_partials_merged(ds, _normalize(q.astype(np.float64)), k)
+    assert merged.count() <= nq * k
+
+    res = brute_force_topk(ds, q, k=k)
+    assert len(res) == nq * k
+
+    # numpy reference over float32-roundtripped embeddings (the table
+    # stores list<float>, so normalize what the engine actually reads)
+    m = _normalize(emb.astype(np.float32).astype(np.float64))
+    qn = _normalize(q.astype(np.float32).astype(np.float64))
+    sims = qn @ m.T
+    for qid in (0, 7, 999):
+        order = np.lexsort((np.arange(n), -sims[qid]))[:k]
+        got = res[res["query_id"] == qid].sort_values("rank")
+        assert list(got["vec_id"]) == list(order)
+
+
+def test_ivf_pretrained_centroids_deterministic(ray_session, tmp_path):
+    """IvfIndex(centroids=...) skips Lloyd and still builds the
+    partitioned store; deterministic_centroids is process-reproducible
+    (same rounded values on repeated calls)."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.similarity import (
+        IvfIndex,
+        deterministic_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 12
+    emb = rng.standard_normal((n, dim))
+    ids = np.arange(n)
+    c1 = deterministic_centroids(ids, emb, 6, iters=2)
+    c2 = deterministic_centroids(ids[::-1].copy(), emb[::-1].copy(), 6, iters=2)
+    assert np.array_equal(c1, c2)  # row-order independent (sorts by id)
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    idx = IvfIndex(centroids=c1, store_dir=str(tmp_path / "ivf"))
+    idx.fit(rd.from_arrow(t))
+    assert idx.n_clusters == 6
+    res = idx.search(emb[:2], k=5, nprobe=2)
+    top0 = res[res["query_id"] == 0].sort_values("rank").iloc[0]
+    assert top0["vec_id"] == 0

@@ -13,6 +13,9 @@ import pandas as pd
 import pytest
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+# corpus-parameterized oracles (stemmed vocabulary map, inlined IVF
+# centroids) must be built for the SAME sf dir the queries run on
+os.environ["WBSE_ORACLE_SF_DIR"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

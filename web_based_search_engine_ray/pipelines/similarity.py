@@ -2,7 +2,8 @@
 
 - :func:`brute_force_topk` — exact cosine top-k: the query matrix is
   broadcast once (``ray.put``), every batch does one dense matmul,
-  per-block top-k partials are merged on the driver (k is small).
+  per-block top-k partials reduce through a ``groupby(query_id)``
+  top-k so the driver sees <= nq*k rows regardless of block count.
 - :class:`IvfIndex` — IVF-flat scale path: deterministic k-means
   (seeded sample init + Lloyd iterations via ``map_batches`` partial
   sums), cluster assignment stored per vector, query probes the
@@ -24,12 +25,41 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
-    """Exact cosine top-k per query.  Returns (query_id, rank, vec_id,
-    cosine) — deterministic tie-break (cosine desc, vec_id asc)."""
+def deterministic_centroids(ids: np.ndarray, mat: np.ndarray,
+                            n_clusters: int, iters: int = 3,
+                            round_to: int = 9) -> np.ndarray:
+    """Pure-numpy, fully deterministic spherical k-means over a SMALL
+    in-memory matrix: rows sorted by id, init = the ``n_clusters``
+    smallest ids' vectors, fixed Lloyd rounds, centroids rounded to
+    ``round_to`` decimals so the exact values can be inlined in a SQL
+    oracle and recomputed bit-identically in another process.  This is
+    the offline/sample centroid-training path (the common production
+    pattern — FAISS trains IVF centroids on a sample); the distributed
+    Lloyd in :meth:`IvfIndex.fit` remains the at-scale default."""
+    order = np.argsort(np.asarray(ids), kind="mergesort")
+    m = _normalize(np.asarray(mat, dtype=np.float64)[order])
+    if len(m) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} vectors, got {len(m)}"
+        )
+    cents = m[:n_clusters].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(cents))
+        nz = counts > 0
+        cents[nz] = _normalize(sums[nz] / counts[nz, None])
+    return np.round(cents, round_to)
+
+
+def _topk_partials_merged(ds, q: np.ndarray, k: int):
+    """Lazy Dataset of the per-query merged top-k partials: per-block
+    top-k map, then a ``groupby(query_id)`` top-k reduce, so whatever
+    consumes it (the driver) sees at most ``nq * k`` rows regardless
+    of how many blocks the corpus splits into."""
     import ray
 
-    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     qref = ray.put(q)
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -51,12 +81,33 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
             }
         )
 
-    partials = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
-    # vectorized driver merge: one lexsort over the (nq x k x blocks)
-    # partials, per-query rank via run offsets, head-k filter
-    q_arr = partials["query_id"].to_numpy()
-    v_arr = partials["vec_id"].to_numpy()
-    c_arr = partials["cosine"].to_numpy()
+    def group_topk(group: pa.Table) -> pa.Table:
+        # distributed per-query merge of the block partials: keeps the
+        # driver intake at <= nq x k rows no matter how many blocks the
+        # corpus splits into (at 100x block counts the raw partials are
+        # a driver-side materialization bomb)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = group["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return group.take(pa.array(order))
+
+    return (
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(group_topk, batch_format="pyarrow")
+    )
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k per query.  Returns (query_id, rank, vec_id,
+    cosine) — deterministic tie-break (cosine desc, vec_id asc)."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    merged = _topk_partials_merged(ds, q, k).to_pandas()
+    # driver finish: global (query, -cosine, vec_id) sort + rank over
+    # the <= nq x k merged rows
+    q_arr = merged["query_id"].to_numpy()
+    v_arr = merged["vec_id"].to_numpy()
+    c_arr = merged["cosine"].to_numpy()
     order = np.lexsort((v_arr, -c_arr, q_arr))
     sq = q_arr[order]
     new = np.ones(len(sq), dtype=bool)
@@ -89,19 +140,29 @@ class IvfIndex:
     """
 
     def __init__(self, n_clusters: int | None = None, iters: int = 5,
-                 seed: int = 42, store_dir: str | None = None):
+                 seed: int = 42, store_dir: str | None = None,
+                 centroids: np.ndarray | None = None):
         #: None → auto-scale at fit() time to ~sqrt(n) (the standard
         #: IVF sizing rule), clamped to [16, 65536]
         self.n_clusters = n_clusters
         self.iters = iters
         self.seed = seed
-        self.centroids: np.ndarray | None = None
+        #: pre-trained centroids (e.g. deterministic_centroids on a
+        #: sample) — fit() then skips the distributed Lloyd and only
+        #: runs the assignment + partitioned store
+        self.centroids: np.ndarray | None = (
+            None if centroids is None
+            else _normalize(np.asarray(centroids, dtype=np.float64))
+        )
         self.store_dir = store_dir  # cluster-partitioned parquet
         self._cluster_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def fit(self, ds):
         import ray
 
+        if self.centroids is not None:
+            self.n_clusters = len(self.centroids)
+            return self._store_assignment(ds, self.centroids)
         n_total = ds.count()
         if self.n_clusters is None:
             self.n_clusters = int(
@@ -152,6 +213,11 @@ class IvfIndex:
             nonzero = counts > 0
             cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
         self.centroids = cents
+        return self._store_assignment(ds, cents)
+
+    def _store_assignment(self, ds, cents: np.ndarray):
+        """Distributed assignment pass + cluster-partitioned store."""
+        import ray
 
         cref = ray.put(cents)
 
@@ -216,7 +282,12 @@ class IvfIndex:
         q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
         out = []
         for qid, qv in enumerate(q):
-            probes = np.argsort(-(self.centroids @ qv))[:nprobe]
+            # stable deterministic probe order: cosine desc, cluster asc
+            # (argsort alone leaves tie order undefined)
+            sims_c = self.centroids @ qv
+            probes = np.lexsort(
+                (np.arange(len(sims_c)), -sims_c)
+            )[:nprobe]
             parts = [self._cluster_vectors(int(c)) for c in probes]
             parts = [p for p in parts if len(p[0])]
             if not parts:

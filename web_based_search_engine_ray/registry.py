@@ -660,10 +660,45 @@ def q_ann_topk(sf_dir: str):
     return res[["query_id", "rank", "vec_id", "cosine"]]
 
 
+_IVF_CLUSTERS = 8
+_IVF_ITERS = 3
+_IVF_NPROBE = 3
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_oracle_centroids(sf_dir: str) -> tuple:
+    """Deterministic centroids shared by q_ivf_ann and its SQL oracle:
+    ``similarity.deterministic_centroids`` on the embeddings table
+    (sorted by vec_id, rounded to 9 dp — bit-identically recomputable
+    in any process, so the SAME values get inlined in the SQL and
+    handed to the engine)."""
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.pipelines.similarity import (
+        deterministic_centroids,
+    )
+    from web_based_search_engine_ray.util import embedding_matrix
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = deterministic_centroids(
+        t["vec_id"].to_numpy(zero_copy_only=False),
+        embedding_matrix(t["embedding"]),
+        _IVF_CLUSTERS,
+        iters=_IVF_ITERS,
+    )
+    return tuple(map(tuple, cents))
+
+
 def q_ivf_ann(sf_dir: str):
-    """Rows-only (approximate by design — no SQL oracle can pin the
-    probe subset), but self-verifying: recall@10 against the exact
-    brute-force top-k is asserted before returning."""
+    """IVF-flat ANN, ORACLE-CHECKABLE: centroids come from the shared
+    deterministic sample-trained fit (``_ivf_oracle_centroids`` — the
+    production pattern of training IVF centroids offline), the engine
+    runs the distributed assignment + cluster-partitioned store +
+    probed search, and the SQL mirror recomputes assignment/probing/
+    top-k from the SAME inlined centroid values.  The recall@10 gate
+    vs exact brute force is KEPT as an in-process assertion."""
     from web_based_search_engine_ray.pipelines.similarity import (
         IvfIndex,
         brute_force_topk,
@@ -672,8 +707,9 @@ def q_ivf_ann(sf_dir: str):
     emb = _embeddings(sf_dir)
     qrows = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
     qv = np.asarray(qrows["embedding"].tolist())
-    idx = IvfIndex(n_clusters=8, iters=3).fit(emb)
-    res = idx.search(qv, k=10, nprobe=3)
+    cents = np.asarray(_ivf_oracle_centroids(sf_dir), dtype=np.float64)
+    idx = IvfIndex(centroids=cents).fit(emb)
+    res = idx.search(qv, k=10, nprobe=_IVF_NPROBE)
 
     truth = brute_force_topk(emb, qv, k=10)
     hits = 0
@@ -687,7 +723,8 @@ def q_ivf_ann(sf_dir: str):
     # tuning drift
     if recall < 0.3:
         raise AssertionError(f"ivf_ann recall@10 vs brute force: {recall}")
-    return res
+    res["cosine"] = np.round(res["cosine"], 6)
+    return res[["query_id", "rank", "vec_id", "cosine"]]
 
 
 def q_token_count(sf_dir: str):
@@ -822,10 +859,12 @@ def _clean_corpus_sql() -> str:
 
 
 def q_hll_distinct(sf_dir: str):
-    """Approximate distinct-token count via the HyperLogLog sketch —
-    SELF-VERIFYING: asserts relative error ≤ 2% against the exact
-    distinct count (computed in-process; fine at driver sf, the sketch
-    itself is the 10^12-row path) before returning."""
+    """Approximate distinct-token count via the HyperLogLog sketch,
+    ORACLE-CHECKABLE: the register array is a pure function of the
+    fnv1a63+splitmix64 hash family, which the SQL mirror recomputes
+    bit-exactly (HUGEINT modular arithmetic), so the ESTIMATE itself
+    hash-matches.  The ≤2% relative-error gate vs the exact count is
+    KEPT as an in-process assertion."""
     import pyarrow as pa
 
     from web_based_search_engine_ray.functions.tokenize import TOKEN_RE
@@ -856,9 +895,12 @@ def q_hll_distinct(sf_dir: str):
         )
     return pd.DataFrame(
         {
-            "distinct_est": pd.Series([r["estimate"]], dtype="float64"),
+            # rounded: the register set is bit-exact both sides, but the
+            # estimator's 16384-term float sum associates differently
+            "distinct_est": pd.Series(
+                [np.round(r["estimate"], 4)], dtype="float64"
+            ),
             "distinct_exact": pd.Series([exact], dtype="int64"),
-            "rel_err": pd.Series([rel_err], dtype="float64"),
         }
     )
 
@@ -1806,23 +1848,13 @@ def queries():
 
 
 def self_verified() -> dict[str, str]:
-    """The queries without a SQL oracle, each with the in-process
-    assertion that gates its result: the CALLABLE ITSELF RAISES when
-    the check fails, so a returned result is a passed check.  Recorded
-    by ``tools/check_correctness.py`` into ``SELFCHECK.json`` so the
-    per-round correctness signal covers all 30 queries."""
-    return {
-        "ivf_ann": (
-            "recall@10 vs exact brute-force top-k asserted >= 0.3 "
-            "(approximate by design; the gate catches breakage)"
-        ),
-        "hll_distinct": (
-            "HyperLogLog distinct-token estimate asserted within 2% "
-            "relative error of the exact in-process distinct count "
-            "(approximate by design — a sketch cannot hash-match an "
-            "exact SQL COUNT(DISTINCT))"
-        ),
-    }
+    """The queries without a SQL oracle (each would carry the
+    in-process assertion that gates its result).  EMPTY as of round 5:
+    the last two approximate queries (``ivf_ann``, ``hll_distinct``)
+    gained exact SQL mirrors — deterministic inlined centroids and a
+    bit-exact HUGEINT hash recomputation — while KEEPING their
+    in-process recall/error gates."""
+    return {}
 
 
 _MERSENNE61 = (1 << 61) - 1
@@ -2066,6 +2098,155 @@ def _sampling_suite_sql() -> str:
                    WHEN 'zh' THEN 1000000
                    ELSE 250000 END AS strat_kept
         FROM documents
+    """
+
+
+def _hll_distinct_sql() -> str:
+    """Bit-exact mirror of ``sketches.hll_distinct`` (p=14) over the
+    engine tokenizer's token stream: DuckDB recomputes the
+    fnv1a63+splitmix64 hash (HUGEINT modular arithmetic; the two
+    splitmix multiplies are split 32/32 to stay under 2^127), the
+    register index/rank bit ops (MSB via the same 32/16/8/4/2/1
+    halving chain the numpy kernel uses), the per-register MAX, and
+    the standard HLL estimator with the linear-counting branch.
+    Registers depend only on the DISTINCT token set, so the hash work
+    runs over ``SELECT DISTINCT`` (tokens are ASCII by the tokenizer
+    charset, so ``ord(substr(...))`` is the UTF-8 byte)."""
+    two64 = "18446744073709551616"
+    mask63 = "9223372036854775808"
+    sm_mul1 = "13787848793156543929"  # 0xBF58476D1CE4E5B9
+    sm_mul2 = "10723151780598845931"  # 0x94D049BB133111EB
+    sm_add = "11400714819323198485"   # 0x9E3779B97F4A7C15
+    m = 16384  # 2^p, p=14
+    return f"""
+        WITH toks AS (
+            SELECT lower(unnest({_TT_TOKS})) AS tok FROM documents
+        ),
+        dt AS (SELECT DISTINCT tok FROM toks),
+        fnv AS (
+            SELECT tok,
+                list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                        list_transform(range(1, length(tok)+1),
+                            i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+                    (h, b) -> (CAST(xor(CAST(h AS UBIGINT),
+                                        CAST(b AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % {two64}
+                ) % {mask63} AS h63
+            FROM dt
+        ),
+        sm AS (
+            SELECT tok,
+                CAST((h63 + {sm_add}) % {two64} AS UBIGINT) AS x0,
+                xor(x0, x0 >> 30) AS y0,
+                CAST((
+                    ((CAST(y0 >> 32 AS HUGEINT) * {sm_mul1}) % 4294967296)
+                        * 4294967296
+                    + CAST(y0 % 4294967296 AS HUGEINT) * {sm_mul1}
+                  ) % {two64} AS UBIGINT) AS x1,
+                xor(x1, x1 >> 27) AS y1,
+                CAST((
+                    ((CAST(y1 >> 32 AS HUGEINT) * {sm_mul2}) % 4294967296)
+                        * 4294967296
+                    + CAST(y1 % 4294967296 AS HUGEINT) * {sm_mul2}
+                  ) % {two64} AS UBIGINT) AS x2,
+                CAST(xor(x2, x2 >> 31) % {mask63} AS UBIGINT) AS h
+            FROM fnv
+        ),
+        rk AS (
+            SELECT h >> 49 AS idx,
+                h % 562949953421312 AS rest,
+                CASE WHEN rest >= 4294967296 THEN 32 ELSE 0 END AS s32,
+                rest >> s32 AS v32,
+                CASE WHEN v32 >= 65536 THEN 16 ELSE 0 END AS s16,
+                v32 >> s16 AS v16,
+                CASE WHEN v16 >= 256 THEN 8 ELSE 0 END AS s8,
+                v16 >> s8 AS v8,
+                CASE WHEN v8 >= 16 THEN 4 ELSE 0 END AS s4,
+                v8 >> s4 AS v4,
+                CASE WHEN v4 >= 4 THEN 2 ELSE 0 END AS s2,
+                v4 >> s2 AS v2,
+                CASE WHEN v2 >= 2 THEN 1 ELSE 0 END AS s1,
+                CASE WHEN rest = 0 THEN 50
+                     ELSE 49 - (s32+s16+s8+s4+s2+s1) END AS rnk
+            FROM sm
+        ),
+        regs AS (SELECT idx, MAX(rnk) AS r FROM rk GROUP BY idx),
+        est AS (
+            SELECT
+                (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+                    / (SUM(power(2.0, -r)) + ({m} - COUNT(*))) AS raw,
+                {m} - COUNT(*) AS zeros
+            FROM regs
+        )
+        SELECT ROUND(
+                 CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                      THEN {m}.0 * ln({m}.0 / zeros)
+                      ELSE raw END, 4) AS distinct_est,
+               (SELECT COUNT(DISTINCT tok) FROM toks) AS distinct_exact
+        FROM est
+    """
+
+
+def _ivf_ann_sql(sf_dir: str) -> str:
+    """Mirror of ``q_ivf_ann``: the SAME deterministic centroid values
+    are inlined as a VALUES list-table; assignment = cosine-argmax over
+    centroids (ties: cluster asc — numpy argmax keeps the first max),
+    probes = top-nprobe centroids per query (ties: cluster asc), then
+    exact cosine top-k within the probed clusters with the brute-force
+    tie-break (cosine desc, vec_id asc), ROUND(_, 6) like ann_topk."""
+    cents = _ivf_oracle_centroids(sf_dir)
+    rows = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        cents(cluster, cent) AS (VALUES {rows}),
+        assign AS (
+            SELECT e.vec_id, e.emb,
+                   (SELECT c.cluster FROM cents c
+                    ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                             c.cluster ASC
+                    LIMIT 1) AS cluster
+            FROM e
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 3),
+        probes AS (
+            SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, c.cent)
+                                        DESC,
+                                    c.cluster ASC
+                       ) AS pr
+                FROM q CROSS JOIN cents c
+            ) WHERE pr <= {_IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(
+                       (SELECT qe FROM q WHERE q.query_id = p.query_id),
+                       a.emb
+                   ) AS s
+            FROM probes p JOIN assign a ON a.cluster = p.cluster
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, vec_id ASC
+                   ) - 1 AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, vec_id, ROUND(s, 6) AS cosine
+        FROM ranked WHERE rank < 10
     """
 
 
@@ -2627,6 +2808,8 @@ def oracle_sql():
         """,
         "profile_suite": _profile_suite_sql(),
         "sampling_suite": _sampling_suite_sql(),
+        "ivf_ann": _ivf_ann_sql(_oracle_sf_dir()),
+        "hll_distinct": _hll_distinct_sql(),
         "decontaminate": _decontaminate_sql(),
         "chunk_dedup": _chunk_dedup_sql(),
         "corpus_stats": """
