@@ -402,6 +402,104 @@ def run_dataops() -> dict:
     }
 
 
+def run_zipf_search() -> dict:
+    """Zipf-vocabulary search leg (``--zipf``): builds an index over the
+    skewed-idf fixture (``sources.webcorpus.zipf_documents_dir``) and
+    times the SAME query batch under ``traversal=`` taat / wand / auto.
+    The driver testdata's flat 30-word vocabulary is the documented
+    WAND worst case (df≈N everywhere, bounds prune nothing); this leg
+    records the crossover on the realistic distribution and validates
+    the auto cost model (expected: wand <= taat here, auto ≈ best of
+    both).  Rank identity of all three is asserted on a query sample."""
+    import ray
+
+    _init_session()
+    import ray.data as rd
+
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.search import ShardedSearcher
+    from web_based_search_engine_ray.sources.webcorpus import (
+        synth_corpus,
+        zipf_documents_dir,
+        zipf_queries,
+    )
+
+    n_docs_fix = int(os.environ.get("GRAFT_ZIPF_DOCS", "60000"))
+    zdir = zipf_documents_dir(n_docs=n_docs_fix)
+    idx_root = os.environ.get("GRAFT_IDX_ROOT", "/dev/shm/graft_bench")
+    os.makedirs(idx_root, exist_ok=True)
+    idx_dir = f"{idx_root}/zipf_idx_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    rd.read_parquet(f"{zdir}/documents.parquet").count()  # warm page cache
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    pool = max(2, NUM_CPUS // 2)
+    doc_shards = 16
+    cfg = IndexConfig(
+        extract_concurrency=(pool, pool),
+        tokenize_concurrency=(pool, pool),
+        doc_shards=doc_shards,
+        num_buckets=8,
+    )
+    t0 = time.perf_counter()
+    report = build_index(
+        lambda: synth_corpus(zdir), idx_dir, cfg,
+        input_key=f"zipf-{zdir}", resume=False,
+    )
+    build_sec = time.perf_counter() - t0
+
+    queries = zipf_queries(N_QUERIES)
+    replicas = max(1, NUM_CPUS // doc_shards)
+    searcher = ShardedSearcher(
+        idx_dir,
+        num_cpus_per_shard=max(0.25, NUM_CPUS / doc_shards / replicas / 2),
+        replicas=replicas,
+    )
+    timings: dict[str, float] = {}
+    for trav in ("taat", "wand", "auto"):
+        searcher.batch_search(queries, k=10, traversal=trav)  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = searcher.batch_search(queries, k=10, traversal=trav)
+            best = min(best, time.perf_counter() - t0)
+        timings[f"search_{trav}"] = best
+        assert len(res) > 0
+
+    # rank identity across traversals on a query sample (cheap but real)
+    sample = queries[:30]
+    frames = {
+        trav: searcher.batch_search(sample, k=10, traversal=trav)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        for trav in ("taat", "wand", "auto")
+    }
+    for trav in ("wand", "auto"):
+        a, b = frames["taat"], frames[trav]
+        assert len(a) == len(b), (trav, len(a), len(b))
+        assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all(), trav
+    searcher.shutdown()
+    ray.shutdown()
+    return {
+        "metric": "zipf-vocab search wall sec per traversal (same batch)",
+        "unit": "sec",
+        "value": round(timings["search_auto"], 3),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "zipf_docs": report["n_docs"],
+        "n_queries": N_QUERIES,
+        "index_build_sec": round(build_sec, 3),
+        "num_cpus": NUM_CPUS,
+        "qps": {
+            k.removeprefix("search_"): round(N_QUERIES / v, 1)
+            for k, v in timings.items()
+        },
+        "rank_identity": "taat==wand==auto on 30-query sample",
+    }
+
+
 def run_scaling_dataops() -> dict:
     """8 vs 32 CPUs on the identical dataops input (fresh processes,
     best-of-N) — the scaling proxy for the dedup/text operator tier."""
@@ -503,7 +601,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-dataops" in sys.argv:
+    if "--zipf" in sys.argv:
+        print(json.dumps(run_zipf_search()))
+    elif "--scaling-dataops" in sys.argv:
         print(json.dumps(run_scaling_dataops()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -127,3 +127,63 @@ def test_wand_kernel_fallbacks(idx):
     if cwand.load_kernel() is not None:
         with pytest.raises(RuntimeError, match="compiled WAND"):
             s.scores_topk_wand({"spark", "merge"}, k=big_k, kernel="c")
+
+
+def test_search_traversal_auto_rank_identity(idx):
+    """traversal='auto' must be rank-identical to both engines on every
+    query shape (the cost model only picks, never changes results)."""
+    s = Searcher(idx)
+    for words in _QUERIES:
+        a = s.search(words, k=10, hydrate=False)
+        c = s.search(words, k=10, hydrate=False, traversal="auto")
+        assert a["doc_id"].tolist() == c["doc_id"].tolist(), words
+        assert a["score"].tolist() == c["score"].tolist(), words
+    # phrase queries route to TAAT under auto (semi-join needs OR-merge)
+    p1 = s.search({"spark", "merge"}, phrase=["spark", "merge"], k=10,
+                  hydrate=False)
+    p2 = s.search({"spark", "merge"}, phrase=["spark", "merge"], k=10,
+                  hydrate=False, traversal="auto")
+    assert p1["doc_id"].tolist() == p2["doc_id"].tolist()
+
+
+def test_choose_traversal_cost_model(ray_session, tmp_path_factory):
+    """On a skewed-df (Zipfian) corpus the cost model picks WAND for a
+    common+rare pair and TAAT for flat pairs / single terms; on the
+    flat-vocabulary corpus it never leaves TAAT."""
+    from web_based_search_engine_ray.sources.webcorpus import (
+        synth_corpus,
+        zipf_documents_dir,
+        zipf_queries,
+    )
+    from web_based_search_engine_ray.stages.cwand import load_kernel
+
+    d = str(tmp_path_factory.mktemp("zipf_idx"))
+    # sized so a common+rare pair clears WAND_AUTO_MIN_VOLUME (sum_df
+    # ≈ df(w1) ≈ n_docs must exceed 4096)
+    zdir = zipf_documents_dir(
+        n_docs=6000, vocab=4000, doc_len=80, seed=9,
+        cache_root=str(tmp_path_factory.mktemp("zipf_docs")),
+    )
+    build_index(
+        lambda: synth_corpus(zdir), d, IndexConfig(),
+        input_key="zipf-test", resume=False,
+    )
+    s = Searcher(d)
+    if load_kernel() is not None:
+        # w1 df≈N, w900 rare → volume+skew+k all clear the bars
+        assert s.choose_traversal({"w1", "w900"}, k=10) == "wand"
+    # flat pair (similar ranks → similar dfs): skew bar fails
+    assert s.choose_traversal({"w1", "w2"}, k=10) == "taat"
+    # single term: nothing to skip
+    assert s.choose_traversal({"w1"}, k=10) == "taat"
+    # deep k kills pruning
+    assert s.choose_traversal({"w1", "w900"}, k=10**6) == "taat"
+
+    # rank identity across all three traversals on the zipf index
+    for q in zipf_queries(12):
+        words = {w for w in q.split()}
+        a = s.search(words, k=10, hydrate=False)
+        b = s.search(words, k=10, hydrate=False, traversal="wand")
+        c = s.search(words, k=10, hydrate=False, traversal="auto")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist() == \
+            c["doc_id"].tolist(), q

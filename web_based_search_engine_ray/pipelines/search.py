@@ -886,6 +886,48 @@ class Searcher:
         API)."""
         return set(self.phrase_doc_array(phrase).tolist())
 
+    #: cost-model constants for ``traversal="auto"`` (measured on the
+    #: Zipf bench fixture, ``bench.py --zipf`` — see BASELINE.md):
+    #: WAND pays off only when the OR-candidate volume is large enough
+    #: to beat TAAT's vectorized dense pass, the per-term upper bounds
+    #: are skewed enough that the pivot walk can skip (a flat-df corpus
+    #: — the synthetic 30-word vocabulary — prunes nothing), and k is
+    #: small relative to the candidate volume (deep top-k keeps θ low).
+    WAND_AUTO_MIN_VOLUME = 4096
+    WAND_AUTO_SKEW = 4.0
+    WAND_AUTO_K_FACTOR = 32
+
+    def choose_traversal(self, words, k: int, mode: str = "ref") -> str:
+        """Pick TAAT or Block-Max WAND for a plain top-k query from the
+        lexicon dfs alone (no posting decode): both paths are
+        rank-identical, so this is purely a cost decision."""
+        from web_based_search_engine_ray.stages.cwand import load_kernel
+
+        if mode == "bm25" and self._n_tokens is None:
+            return "taat"
+        if mode != "bm25" and not self._can_prune:
+            return "taat"  # degenerate norms: WAND falls back anyway
+        if load_kernel() is None:
+            return "taat"  # the Python pivot walk loses to vector TAAT
+        dfs = []
+        for w in words:
+            t = self.stem_query_word(w)
+            if not t:
+                continue
+            e = self._lex_entry(t)
+            if e is not None and e[0] > 0:
+                dfs.append(e[0])
+        if len(dfs) < 2:
+            return "taat"  # single list: nothing to skip
+        sum_df, min_df, max_df = sum(dfs), min(dfs), max(dfs)
+        if (
+            sum_df >= self.WAND_AUTO_MIN_VOLUME
+            and max_df >= self.WAND_AUTO_SKEW * min_df
+            and k * self.WAND_AUTO_K_FACTOR <= sum_df
+        ):
+            return "wand"
+        return "taat"
+
     # ------------------------------------------------------------------ query
     def search(
         self,
@@ -899,12 +941,19 @@ class Searcher:
     ) -> pd.DataFrame:
         """``traversal="wand"`` routes plain top-k queries through the
         DAAT Block-Max WAND walk (:meth:`scores_topk_wand`, rank- and
-        bitwise-identical); phrase queries always use the TAAT path
-        (the phrase semi-join needs the full OR-merge candidate set)."""
-        if traversal not in ("taat", "wand"):
+        bitwise-identical); ``"auto"`` picks per query with the
+        df-skew + k cost model (:meth:`choose_traversal`); phrase
+        queries always use the TAAT path (the phrase semi-join needs
+        the full OR-merge candidate set)."""
+        if traversal not in ("taat", "wand", "auto"):
             raise ValueError(f"unknown traversal {traversal!r}")
         k = k if k is not None else self.cfg.max_results
         phrase = phrase or []
+        if traversal == "auto":
+            traversal = (
+                self.choose_traversal(words, k, mode=mode)
+                if not phrase and k else "taat"
+            )
         if traversal == "wand" and not phrase and k:
             ids, vals = self.scores_topk_wand(words, k=k, mode=mode)
             df = pd.DataFrame({"doc_id": ids, "score": vals})
@@ -938,17 +987,20 @@ class Searcher:
         return df
 
     def search_many(self, queries: list[str], k: int | None = None,
-                    prune: bool = True) -> pd.DataFrame:
+                    prune: bool = True,
+                    traversal: str = "auto") -> pd.DataFrame:
         """Batch form of :meth:`search` for shard fan-out: parse + score
         every query, returning one compact (query_id, doc_id, score)
         frame (no hydration).  One actor RPC per shard instead of one
         per (query, shard).  MaxScore pruning is on by default (it is
-        rank-safe and auto-disabled for phrase queries)."""
+        rank-safe and auto-disabled for phrase queries); traversal
+        defaults to the cost-based auto choice (also rank-safe)."""
         k = k if k is not None else self.cfg.max_results
         qids, dids, scs = [], [], []
         for qid, q in enumerate(queries):
             words, phrase = parse_query(q)
-            res = self.search(words, phrase, k=k, hydrate=False, prune=prune)
+            res = self.search(words, phrase, k=k, hydrate=False,
+                              prune=prune, traversal=traversal)
             n = len(res)
             if n:
                 qids.extend([qid] * n)
@@ -1095,10 +1147,14 @@ class _Broker:
     def __init__(self, shard_actors):
         self._shards = shard_actors
 
-    def run(self, queries: list[str], base_qid: int, k: int) -> pd.DataFrame:
+    def run(self, queries: list[str], base_qid: int, k: int,
+            traversal: str = "auto") -> pd.DataFrame:
         import ray
 
-        futs = [s.search_many.remote(queries, k=k) for s in self._shards]
+        futs = [
+            s.search_many.remote(queries, k=k, traversal=traversal)
+            for s in self._shards
+        ]
         parts = [p for p in ray.get(futs) if len(p)]
         out = _merge_query_results(parts, k)
         out["query_id"] += base_qid
@@ -1208,7 +1264,8 @@ class ShardedSearcher:
         return merged.reset_index(drop=True)
 
     def batch_search(self, queries: list[str], k: int = 10,
-                     n_brokers: int | None = None) -> pd.DataFrame:
+                     n_brokers: int | None = None,
+                     traversal: str = "auto") -> pd.DataFrame:
         """Send the query batch to every shard (chunked RPCs; each
         shard's decode work is 1/num_shards of the posting data), then
         merge per query.
@@ -1243,7 +1300,8 @@ class ShardedSearcher:
             chunk = -(-len(queries) // n_brokers)
             futs = [
                 brokers[i].run.remote(
-                    queries[i * chunk:(i + 1) * chunk], i * chunk, k
+                    queries[i * chunk:(i + 1) * chunk], i * chunk, k,
+                    traversal
                 )
                 for i in range(n_brokers)
                 if queries[i * chunk:(i + 1) * chunk]
@@ -1260,7 +1318,8 @@ class ShardedSearcher:
         for start in range(0, len(queries), chunk):
             sub = queries[start:start + chunk]
             futs.extend(
-                (start, a.search_many.remote(sub, k=k)) for a in self._actors
+                (start, a.search_many.remote(sub, k=k, traversal=traversal))
+                for a in self._actors
             )
         parts = []
         for start, f in futs:

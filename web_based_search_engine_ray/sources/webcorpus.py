@@ -214,3 +214,76 @@ def synth_corpus_cached(
         columns=columns,
         override_num_blocks=parallelism or default_parallelism(),
     )
+
+
+def zipf_documents_dir(
+    *,
+    n_docs: int = 60000,
+    vocab: int = 30000,
+    doc_len: int = 120,
+    s: float = 1.07,
+    seed: int = 7,
+    cache_root: str = "/tmp/graft_zipf_corpus",
+) -> str:
+    """documents.parquet dir with a Zipf(``s``) vocabulary — the
+    realistic skewed-idf search fixture.
+
+    The driver testdata's ~30-word vocabulary gives every term df≈N,
+    the documented WORST case for MaxScore/WAND (bounds are flat, the
+    pivot walk prunes nothing, search is pure DRAM traffic).  Real web
+    text is Zipfian: a few stopword-like terms with df≈N and a long
+    tail of rare terms, which is exactly where block-max pruning wins.
+    This fixture pins that regime so the TAAT↔WAND crossover and the
+    ``traversal="auto"`` cost model are measured on the distribution
+    they target (``bench.py --zipf``).
+
+    Deterministic (seeded inverse-CDF sampling), cached on disk, and
+    shaped like the testdata ``documents.parquet`` (doc_id, text,
+    lang) so ``synth_corpus`` can consume the dir directly."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = f"n{n_docs}-v{vocab}-l{doc_len}-s{s}-seed{seed}-v1"
+    d = os.path.join(cache_root, key)
+    marker = os.path.join(d, "_DONE.json")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    w = 1.0 / ranks**s
+    cum = np.cumsum(w / w.sum())
+    words = np.array([f"w{r}" for r in range(1, vocab + 1)], dtype=object)
+    draws = np.searchsorted(cum, rng.random((n_docs, doc_len)))
+    draws = np.minimum(draws, vocab - 1)
+    texts = [" ".join(words[row]) for row in draws]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n_docs, type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"n_docs": n_docs, "vocab": vocab, "doc_len": doc_len,
+                   "s": s, "seed": seed}, f)
+    return d
+
+
+def zipf_queries(n: int) -> list[str]:
+    """Deterministic query mix over the Zipf fixture's vocabulary:
+    common+rare pairs (the classic WAND win), three-term mixed, and
+    flat common pairs (where TAAT should keep winning — the auto
+    cost model must NOT switch there)."""
+    out = []
+    for i in range(n):
+        if i % 3 == 0:
+            out.append(f"w1 w{2000 + i % 500}")
+        elif i % 3 == 1:
+            out.append(f"w{3 + i % 5} w{300 + i % 200} w{5000 + i % 1000}")
+        else:
+            out.append(f"w{1 + i % 10} w{12 + i % 10}")
+    return out
