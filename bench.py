@@ -402,6 +402,150 @@ def run_dataops() -> dict:
     }
 
 
+def run_update_bench() -> dict:
+    """Incremental-update leg (``--update``): full build over the
+    repeat-expanded corpus, then ``update_index`` with a ~1% delta
+    (modified docs get newer warc_ts + changed text/html; ~0.2% of urls
+    disappear and are full-sync deleted).  Two delta shapes:
+
+    - ``uniform``: updated urls spread over the whole id space — with
+      modulo doc-sharding every shard is touched, so the savings come
+      from skipping html extraction of unchanged docs (the delta is
+      the only thing extracted), not from shard pruning;
+    - ``confined``: the same delta VOLUME confined to one doc shard —
+      the partition-pruned best case (15/16 shard partitions stay
+      byte-identical on disk and are never re-tokenized).
+    """
+    import ray
+
+    _init_session()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.update_index import update_index
+    from web_based_search_engine_ray.sources.webcorpus import (
+        make_html,
+        synth_corpus,
+        synth_corpus_cached,
+    )
+
+    idx_root = os.environ.get("GRAFT_IDX_ROOT", "/dev/shm/graft_bench")
+    os.makedirs(idx_root, exist_ok=True)
+
+    if REPEAT > 1:
+        synth_corpus_cached(SF_DIR, repeat=REPEAT)
+        corpus_fn = lambda: synth_corpus_cached(SF_DIR, repeat=REPEAT)  # noqa: E731
+        corpus_fn().map_batches(
+            lambda b: b.slice(0, 1), batch_format="pyarrow"
+        ).count()
+    else:
+        corpus_fn = lambda: synth_corpus(SF_DIR)  # noqa: E731
+
+    pool = max(2, NUM_CPUS // 2)
+    doc_shards = 16
+    # partitioned_build: the incremental-update layout (per-shard stage
+    # manifests).  The full build pays ~one Dataset execution per shard
+    # of fixed overhead for it at this toy scale; the headline
+    # index_build leg records the monolithic build time
+    cfg = IndexConfig(
+        extract_concurrency=(pool, pool),
+        tokenize_concurrency=(pool, pool),
+        doc_shards=doc_shards,
+        num_buckets=8,
+        partitioned_build=True,
+        part_build_concurrency=8,
+    )
+
+    def delta_fn(confined: bool):
+        def delta_batch(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            if confined:
+                # same ~0.2% removal volume, all inside doc shard 3
+                # (shard = doc_id % doc_shards), so only that shard's
+                # partitions are affected and the rest stay pruned
+                keep = ~((ids % doc_shards == 3) & ((ids // doc_shards) % 31 == 5))
+            else:
+                keep = ids % 499 != 7  # ~0.2% of urls disappear, uniform
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+            if confined:
+                # same ~1% update volume, all in doc shard 3
+                upd = (ids % doc_shards == 3) & ((ids // doc_shards) % 6 == 0)
+            else:
+                upd = ids % 100 == 1  # ~1%, uniform over shards
+            if not upd.any():
+                return b
+            # touch ONLY the updated rows (the delta generator itself must
+            # be cheap — it runs on every corpus scan of the update path)
+            unchanged = b.filter(pa.array(~upd))
+            hot = b.filter(pa.array(upd))
+            hids = hot["doc_id"].to_numpy(zero_copy_only=False)
+            texts = [t + " updatedtoken" for t in hot["text"].to_pylist()]
+            htmls = [make_html(int(i), t) for i, t in zip(hids, texts)]
+            ts = hot["warc_ts"].to_numpy(zero_copy_only=False) + np.timedelta64(
+                1000, "s"
+            )
+            hot2 = pa.table(
+                {
+                    "url": hot["url"],
+                    "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                    "html": pa.array(htmls, type=pa.binary()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": hot["lang"],
+                    "doc_id": hot["doc_id"],
+                }
+            )
+            return pa.concat_tables(
+                [unchanged.select(hot2.column_names), hot2]
+            )
+
+        return lambda: corpus_fn().map_batches(
+            delta_batch, batch_format="pyarrow"
+        )
+
+    out: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    n_docs = 0
+    for shape in ("uniform", "confined"):
+        idx_dir = f"{idx_root}/update_idx_{NUM_CPUS}_{shape}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        report = build_index(
+            corpus_fn, idx_dir, cfg,
+            input_key=f"updbench-{SF_DIR}-{REPEAT}", resume=False,
+        )
+        out[f"full_build_{shape}"] = time.perf_counter() - t0
+        n_docs = report["n_docs"]
+        t0 = time.perf_counter()
+        rep = update_index(
+            delta_fn(shape == "confined"), idx_dir, cfg,
+            input_key=f"updbench-delta-{shape}", remove_missing=True,
+        )
+        out[f"update_{shape}"] = time.perf_counter() - t0
+        detail[shape] = rep["update"] | {
+            "affected_shards": len(rep["update"]["affected_shards"]),
+        }
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    ray.shutdown()
+    return {
+        "metric": "incremental update wall vs full rebuild (1% delta)",
+        "unit": "sec",
+        "value": round(out["update_uniform"], 3),
+        "queries": {k: round(v, 3) for k, v in out.items()},
+        "n_docs": n_docs,
+        "num_cpus": NUM_CPUS,
+        "update_detail": detail,
+        "update_over_rebuild": {
+            s: round(out[f"update_{s}"] / out[f"full_build_{s}"], 3)
+            for s in ("uniform", "confined")
+        },
+    }
+
+
 def run_zipf_search() -> dict:
     """Zipf-vocabulary search leg (``--zipf``): builds an index over the
     skewed-idf fixture (``sources.webcorpus.zipf_documents_dir``) and
@@ -603,6 +747,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--zipf" in sys.argv:
         print(json.dumps(run_zipf_search()))
+    elif "--update" in sys.argv:
+        print(json.dumps(run_update_bench()))
     elif "--scaling-dataops" in sys.argv:
         print(json.dumps(run_scaling_dataops()))
     elif "--scaling" in sys.argv:

@@ -225,3 +225,95 @@ def test_remove_missing_deletes_documents(ray_session, tmp_path_factory):
         rb = b.search(words, k=10**9, hydrate=False)
         assert ra["doc_id"].tolist() == rb["doc_id"].tolist()
         assert not set(REMOVED_IDS) & set(ra["doc_id"])
+
+
+def _corpus_v4():
+    """v2 with doc 5 (shard 1 under mod 4) rewritten again."""
+    import ray.data as rd
+
+    from web_based_search_engine_ray.sources.webcorpus import synth_batch
+
+    def modify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            t + " freshly updated content tokens" if i in UPDATED_IDS
+            else t + " secondwave tokens" if i == 5
+            else t
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(texts, type=pa.string()),
+        )
+
+    def to_web(batch: pa.Table) -> pa.Table:
+        web = synth_batch(batch)
+        ids = web["doc_id"].to_numpy(zero_copy_only=False)
+        ts = web["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        bumped = np.where(
+            np.isin(ids, UPDATED_IDS), ts + np.timedelta64(1, "D"), ts
+        )
+        bumped = np.where(ids == 5, ts + np.timedelta64(2, "D"), bumped)
+        i = web.schema.get_field_index("warc_ts")
+        return web.set_column(
+            i, "warc_ts", pa.array(bumped, type=pa.timestamp("us"))
+        )
+
+    base = (
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"],
+                        override_num_blocks=8)
+        .map_batches(modify, batch_format="pyarrow")
+    )
+    extra = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(NEW_IDS), type=pa.int64()),
+                "text": pa.array(
+                    ["brand new document about sparkly merges" for _ in NEW_IDS]
+                ),
+                "lang": pa.array(["en"] * len(NEW_IDS)),
+            }
+        )
+    )
+    return base.union(extra).map_batches(to_web, batch_format="pyarrow")
+
+
+def test_second_update_prunes_forward_and_segments(updated_and_rebuilt):
+    """Per-shard content tokens must let a SECOND update skip the
+    untouched shards of BOTH sharded stages (segments AND forward —
+    after the first update the forward stage is in the per-shard
+    layout with part manifests, so updates from then on are O(delta)
+    in tokenize work)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.pipelines.update_index import update_index
+    from web_based_search_engine_ray.config import IndexConfig
+
+    cfg = IndexConfig(
+        extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+        shuffle_partitions=4, num_buckets=4, doc_shards=4,
+    )
+    inc_dir, _, _, _ = updated_and_rebuilt
+    assert os.path.exists(os.path.join(inc_dir, "_shard_tokens.json"))
+
+    mtimes = {
+        (stage, s): os.path.getmtime(
+            os.path.join(inc_dir, stage, f"doc_shard={s}")
+        )
+        for s in (0, 2, 3)
+        for stage in ("segments", "forward", "extracted")
+    }
+    report = update_index(_corpus_v4, inc_dir, cfg, input_key="v4")
+    assert report["update"]["affected_shards"] == [1]
+    assert not report["update"]["full_segment_rebuild"]
+    for (stage, s), old in mtimes.items():
+        now = os.path.getmtime(
+            os.path.join(inc_dir, stage, f"doc_shard={s}")
+        )
+        assert now == old, f"{stage} shard {s} was rewritten on update 2"
+
+    # the second wave of content is searchable and correctly scored
+    hits = Searcher(inc_dir).search({"secondwave"}, k=10, hydrate=False)
+    assert hits["doc_id"].tolist() == [5]

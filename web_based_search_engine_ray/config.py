@@ -65,6 +65,13 @@ class IndexConfig:
     # scale but amortizes to noise when a shard takes minutes.  Same
     # artifacts either way (physical execution knob, not semantic).
     partitioned_build: bool = False
+    # How many shard-part pipelines of a partitioned_build stage run
+    # CONCURRENTLY (independent Dataset executions on one Ray cluster;
+    # outputs and manifests are per-part, so completion order is
+    # irrelevant).  >1 hides the per-execution fixed overhead at small
+    # shard sizes and keeps the cluster busy when one part alone can't
+    # saturate it; resume granularity is unchanged.
+    part_build_concurrency: int = 4
 
     def semantic_key(self) -> str:
         """Stable hash of the fields that affect index *content* (used to

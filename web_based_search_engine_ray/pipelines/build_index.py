@@ -65,6 +65,42 @@ STAGES = ("extracted", "docmeta", "edges", "segments", "lexicon", "forward",
           "docstats")
 
 
+def _shard_tokens_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_shard_tokens.json")
+
+
+def _load_shard_tokens(out_dir: str, fp_ext: str) -> dict[str, str]:
+    """Per-doc-shard content tokens for the ``extracted/`` layout.
+
+    ``update_index`` keeps untouched ``doc_shard=N`` partitions
+    byte-identical but bumps the stage fingerprint (the input key
+    changed), which would invalidate every per-shard manifest of the
+    sharded segments/forward stages and force a full rebuild.  The
+    token file records, per shard, the fingerprint of the last write
+    that actually TOUCHED that shard; sharded stages key their
+    per-part manifests on it, so a resumed build after an update
+    re-tokenizes only the shards whose extracted rows changed —
+    the O(delta) path the reference lacks entirely (it re-crawls).
+
+    The file is only trusted when its ``fp_ext`` matches the current
+    extracted fingerprint (a full re-extract under a new input key
+    invalidates it wholesale)."""
+    try:
+        obj = mf.read_json(_shard_tokens_path(out_dir))
+    except Exception:
+        return {}
+    if not isinstance(obj, dict) or obj.get("fp_ext") != fp_ext:
+        return {}
+    return {str(k): str(v) for k, v in obj.get("tokens", {}).items()}
+
+
+def _write_shard_tokens(out_dir: str, fp_ext: str, tokens: dict) -> None:
+    mf.write_json(
+        _shard_tokens_path(out_dir),
+        {"fp_ext": fp_ext, "tokens": {str(k): str(v) for k, v in tokens.items()}},
+    )
+
+
 def _fp(*parts: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
@@ -378,31 +414,34 @@ def filter_fresh(corpus, index_dir: str, *, mode: str = "auto"):
 
 
 def _filter_fresh_exact(corpus, d_meta: str):
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray
 
     meta = pads.dataset(d_meta, format="parquet").to_table(
         columns=["url", "last_modified"]
     )
-    stored = dict(
-        zip(
-            meta["url"].to_pylist(),
-            meta["last_modified"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64),
-        )
+    # broadcast as (Arrow url array, int64 threshold array) — zero-copy
+    # from plasma per task, vs a Python dict that every task unpickles
+    known_urls = meta["url"].combine_chunks()
+    known_ts = (
+        meta["last_modified"].to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
     )
-    ref = ray.put(stored)
+    ref = ray.put((known_urls, known_ts))
 
     def fresh_only(batch: pa.Table) -> pa.Table:
-        known = ray.get(ref)
-        urls = batch["url"].to_pylist()
+        urls_k, ts_k = ray.get(ref)
+        idx = pc.index_in(batch["url"], value_set=urls_k)
+        pos = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
             batch["warc_ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").astype(np.int64)
         )
-        keep = [
-            u not in known or t > known[u] for u, t in zip(urls, ts)
-        ]
+        found = pos >= 0
+        keep = ~found
+        hit = np.flatnonzero(found)
+        keep[hit] = ts[hit] > ts_k[pos[hit]]
         return batch.filter(pa.array(keep))
 
     return corpus.map_batches(fresh_only, batch_format="pyarrow")
@@ -646,6 +685,12 @@ def build_index(
     if corpus_parts_fn is None:
 
         def _build_extracted(stage_dir: str) -> int:
+            # full re-extract: every shard is rewritten, so any
+            # per-shard tokens from a previous update cycle are stale
+            try:
+                fsio.remove(_shard_tokens_path(out_dir))
+            except Exception:
+                pass
             ds = _extract_pipeline(corpus_fn())
             if cfg.dedup_urls:
                 # doc_shard-partitioned final layout (update_index
@@ -793,17 +838,46 @@ def build_index(
                 name, stage_dir, m.get("rows", -1), 0.0, True, m
             )
         fsio.makedirs(stage_dir)
-        rebuilt = 0
-        for s in range(cfg.doc_shards):
+        # a previous MONOLITHIC run may have left flat (non-partition)
+        # files at the stage root; overlaying doc_shard= dirs on top
+        # would duplicate rows, so clear anything that isn't a shard
+        # partition (per-part run_stage only wipes its own part dir)
+        for entry in fsio.listdir(stage_dir):
+            if entry.startswith("doc_shard=") or entry == "_MANIFEST.json":
+                continue
+            p = os.path.join(stage_dir, entry)
+            if fsio.isdir(p):
+                fsio.rmtree(p)
+            else:
+                fsio.remove(p)
+        # per-shard content tokens (written by update_index): a shard
+        # whose extracted partition is byte-identical keeps its token,
+        # so its per-part manifest still matches and the part is skipped
+        shard_tokens = _load_shard_tokens(out_dir, fp_ext)
+
+        def _one_part(s: int) -> int:
             p_dir = os.path.join(stage_dir, f"doc_shard={s}")
-            p_fp = _fp(f"{name}-part", fp_ext, sem, str(s))
+            p_fp = _fp(
+                f"{name}-part", shard_tokens.get(str(s), fp_ext), sem, str(s)
+            )
             r = mf.run_stage(
                 p_dir, p_fp,
                 functools.partial(part_fn, shard=s),
                 resume=resume,
                 manifest_path=_part_manifest(name, s),
             )
-            rebuilt += 0 if r.skipped else 1
+            return 0 if r.skipped else 1
+
+        workers = max(1, min(cfg.part_build_concurrency, cfg.doc_shards))
+        if workers > 1:
+            # concurrent part pipelines: each is an independent Dataset
+            # execution writing its own partition dir + manifest
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                rebuilt = sum(pool.map(_one_part, range(cfg.doc_shards)))
+        else:
+            rebuilt = sum(_one_part(s) for s in range(cfg.doc_shards))
         total = _count_parquet(stage_dir)
         mf.write_manifest(
             stage_dir, stage_fp, total,
@@ -882,15 +956,42 @@ def build_index(
         runs.write_parquet(stage_dir, partition_cols=partition_cols)
         return _count_parquet(stage_dir)
 
+    def _stamp_part_manifests(name: str, stage_dir: str) -> None:
+        """After a MONOLITHIC doc_shard-partitioned stage build, record
+        per-part manifests (metadata-only counts) so a later
+        ``update_index`` can skip untouched shards on its first resumed
+        build — without this, only the second update onward would
+        prune."""
+        for s in range(cfg.doc_shards):
+            p_dir = os.path.join(stage_dir, f"doc_shard={s}")
+            if not fsio.isdir(p_dir):
+                continue
+            fsio.write_json(
+                _part_manifest(name, s),
+                {
+                    "stage": f"doc_shard={s}",
+                    "fingerprint": _fp(f"{name}-part", fp_ext, sem, str(s)),
+                    "rows": _count_parquet(p_dir),
+                    "wall_sec": 0.0,
+                    "stamped_from_monolithic": True,
+                },
+            )
+
     if use_parts:
         results.append(
             _run_sharded_stage("segments", d_seg, fp_seg,
                                _build_segments_part)
         )
     else:
-        results.append(
-            mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume)
-        )
+        r_seg = mf.run_stage(d_seg, fp_seg, _build_segments, resume=resume)
+        results.append(r_seg)
+        if (
+            not r_seg.skipped
+            and cfg.doc_shards > 1
+            and cfg.compact_segments
+            and corpus_parts_fn is None
+        ):
+            _stamp_part_manifests("segments", d_seg)
 
     # ---- stage: forward (doc-local second tokenize pass — NO shuffle) ------
     fp_fwd = _fp("forward", fp_ext, sem)

@@ -34,6 +34,7 @@ the reference defines but never drives.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -46,13 +47,13 @@ from web_based_search_engine_ray.pipelines.build_index import (
     _count_parquet,
     _extract_task,
     _fp,
+    _load_shard_tokens,
     _lww_group,
     _shuffle_parts,
-    _tokenize_encode_task,
+    _write_shard_tokens,
     build_index,
     filter_fresh,
 )
-from web_based_search_engine_ray.stages.postings import compact_bucket
 from web_based_search_engine_ray.state import fsio
 from web_based_search_engine_ray.state import manifest as mf
 
@@ -137,7 +138,6 @@ def update_index(
             "build_index instead of updating across formats"
         )
     d_ext = os.path.join(index_dir, "extracted")
-    d_seg = os.path.join(index_dir, "segments")
     if not fsio.isdir(d_ext) and fsio.isdir(
         os.path.join(index_dir, "extracted_parts")
     ):
@@ -248,10 +248,21 @@ def update_index(
             for s in affected
             if fsio.isdir(p := os.path.join(d_ext, f"doc_shard={s}"))
         ]
+        # expand to file paths: a LIST of directories is treated as
+        # explicit file paths by the pyarrow dataset factory (opening a
+        # directory as a file is an error); per-file paths also skip
+        # partition inference, keeping the schema aligned with the
+        # unpartitioned delta for the union below
+        aff_files = [
+            os.path.join(p, f)
+            for p in aff_dirs
+            for f in fsio.listdir(p)
+            if f.endswith(".parquet")
+        ]
         parts = []
-        if aff_dirs:
+        if aff_files:
             parts.append(
-                rd.read_parquet(aff_dirs).map_batches(
+                rd.read_parquet(aff_files).map_batches(
                     drop_updated, batch_format="pyarrow"
                 )
             )
@@ -298,70 +309,44 @@ def update_index(
     n_ext = _count_parquet(d_ext)
     fsio.rmtree(d_delta, ignore_errors=True)
 
+    # ---- per-shard content tokens: the incremental contract --------------
+    # Untouched doc_shard partitions are byte-identical on disk.  Record
+    # that fact for the resumed build: each shard keeps the fingerprint
+    # of the last write that touched it, so the sharded segments AND
+    # forward stages (keyed on these tokens, build_index.
+    # _run_sharded_stage) re-tokenize only the affected shards.  The
+    # globally-derived stages (lexicon df, docstats norms — both depend
+    # on corpus-wide df/N by SEMANTICS) still recompute.
+    old_man = mf.load_manifest(d_ext) or {}
+    fp_ext_old = old_man.get("fingerprint", "")
     fp_ext = _fp("extracted", sem, input_key)
+    full_rebuild = (
+        cfg.doc_shards <= 1 or len(affected) >= n_shards or not ext_partitioned
+    )
+    if full_rebuild:
+        try:
+            fsio.remove(os.path.join(index_dir, "_shard_tokens.json"))
+        except Exception:
+            pass
+    else:
+        prev = _load_shard_tokens(index_dir, fp_ext_old)
+        tokens = {
+            str(s): (
+                fp_ext
+                if s in set(affected)
+                else prev.get(str(s), fp_ext_old)
+            )
+            for s in range(n_shards)
+        }
+        _write_shard_tokens(index_dir, fp_ext, tokens)
     mf.write_manifest(d_ext, fp_ext, n_ext, extra={"updated": True})
 
-    # ---- rebuild only the affected segment partitions --------------------
-    from web_based_search_engine_ray.sources.webcorpus import (
-        default_parallelism,
-    )
-
-    full_rebuild = cfg.doc_shards <= 1 or len(affected) >= n_shards
-    ds = rd.read_parquet(
-        d_ext, columns=["doc_id", "title", "text"],
-        override_num_blocks=default_parallelism(),
-    )
-    if not full_rebuild:
-        aff = ray.put(set(affected))
-
-        def in_affected(batch: pa.Table) -> pa.Table:
-            shards = ray.get(aff)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(np.isin(ids % n_shards, list(shards))))
-
-        ds = ds.map_batches(in_affected, batch_format="pyarrow")
-
-    runs = ds.map_batches(
-        functools.partial(_tokenize_encode_task, cfg=cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size,
-    )
-    if cfg.compact_segments:
-        runs = runs.repartition(_shuffle_parts(cfg))
-        runs = runs.groupby("part_key").map_groups(
-            functools.partial(
-                compact_bucket,
-                max_run_docs=cfg.max_run_docs,
-                num_buckets=cfg.num_buckets,
-            ),
-            batch_format="pyarrow",
-        )
-    partition_cols = ["doc_shard", "bucket"] if cfg.doc_shards > 1 else ["bucket"]
-    d_seg_new = os.path.join(index_dir, "_segments_new")
-    fsio.rmtree(d_seg_new, ignore_errors=True)
-    runs.write_parquet(d_seg_new, partition_cols=partition_cols)
-
-    if full_rebuild:
-        fsio.rmtree(d_seg)
-        fsio.replace(d_seg_new, d_seg)
-    else:
-        for s in affected:
-            part = f"doc_shard={s}"
-            old_part = os.path.join(d_seg, part)
-            new_part = os.path.join(d_seg_new, part)
-            if fsio.isdir(old_part):
-                fsio.rmtree(old_part)
-            if fsio.isdir(new_part):
-                fsio.replace(new_part, old_part)
-        fsio.rmtree(d_seg_new, ignore_errors=True)
-
-    fp_seg = _fp("segments", fp_ext)
-    mf.write_manifest(
-        d_seg, fp_seg, _count_parquet(d_seg),
-        extra={"updated_shards": affected, "full_rebuild": full_rebuild},
-    )
-
     # ---- everything downstream via the normal (resumable) build ----------
+    # segments/forward prune to the affected shards via the tokens above;
+    # the sharded stage path must be on for the pruning to apply
+    # (partitioned_build is physical layout only — not in semantic_key)
+    if not full_rebuild and cfg.compact_segments and not cfg.partitioned_build:
+        cfg = dataclasses.replace(cfg, partitioned_build=True)
     def _no_corpus():
         raise RuntimeError(
             "corpus must not be re-read: extracted stage is primed"
