@@ -516,6 +516,22 @@ def test_brute_force_topk_driver_intake_bounded(ray_session):
         got = res[res["query_id"] == qid].sort_values("rank")
         assert list(got["vec_id"]) == list(order)
 
+    # merge modes are value-identical; auto picks the driver merge
+    # below the partial threshold and the distributed reduce above it
+    from web_based_search_engine_ray.pipelines import similarity as sim_mod
+
+    r_driver = brute_force_topk(ds, q, k=k, merge="driver")
+    r_dist = brute_force_topk(ds, q, k=k, merge="distributed")
+    pd.testing.assert_frame_equal(res, r_driver)
+    pd.testing.assert_frame_equal(res, r_dist)
+    old = sim_mod.DRIVER_MERGE_MAX_PARTIALS
+    try:
+        sim_mod.DRIVER_MERGE_MAX_PARTIALS = 0  # force the scale path
+        r_auto_big = brute_force_topk(ds, q, k=k, merge="auto")
+    finally:
+        sim_mod.DRIVER_MERGE_MAX_PARTIALS = old
+    pd.testing.assert_frame_equal(res, r_auto_big)
+
 
 def test_ivf_pretrained_centroids_deterministic(ray_session, tmp_path):
     """IvfIndex(centroids=...) skips Lloyd and still builds the
