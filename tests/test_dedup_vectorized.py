@@ -564,3 +564,33 @@ def test_ivf_pretrained_centroids_deterministic(ray_session, tmp_path):
     res = idx.search(emb[:2], k=5, nprobe=2)
     top0 = res[res["query_id"] == 0].sort_values("rank").iloc[0]
     assert top0["vec_id"] == 0
+
+
+def test_estimated_blocks_never_executes_the_plan(
+    ray_session, tmp_path, sf_dir
+):
+    """merge="auto" sizing must be metadata-only (regression:
+    ``Dataset.size_bytes()`` falls back to ``plan.execute()`` on
+    transformed datasets, running the upstream pipeline twice)."""
+    import os
+
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.similarity import (
+        _estimated_blocks,
+    )
+
+    marker = tmp_path / "executed"
+    mpath = str(marker)
+
+    def boom(b: pa.Table) -> pa.Table:
+        with open(mpath, "w") as f:
+            f.write("x")
+        return b
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).map_batches(boom, batch_format="pyarrow")
+    nb = _estimated_blocks(ds)
+    assert nb is None or nb >= 1
+    assert not marker.exists(), "_estimated_blocks executed the plan"

@@ -187,3 +187,43 @@ def test_partitioned_build_resume_per_shard(ray_session, tmp_path_factory,
         b = _table(os.path.join(mono, art)).to_pandas().sort_values(
             key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_partitioned_rebuild_with_fewer_shards_drops_stale_parts(
+    ray_session, tmp_path_factory, sf_dir
+):
+    """Rebuilding into the same out_dir with a SMALLER ``doc_shards``
+    must clear the previous layout's extra ``doc_shard=`` partitions —
+    hive discovery would otherwise count their rows as live postings
+    (regression: the stage-root cleanup preserved ALL doc_shard=
+    entries, not just the current config's)."""
+    from web_based_search_engine_ray.config import IndexConfig
+    from web_based_search_engine_ray.pipelines.build_index import build_index
+    from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.sources.webcorpus import synth_corpus
+
+    base = tmp_path_factory.mktemp("shrink")
+    out, clean = str(base / "idx"), str(base / "clean")
+    kw = dict(extract_concurrency=(1, 2), tokenize_concurrency=(1, 2),
+              shuffle_partitions=4, num_buckets=8, partitioned_build=True)
+    build_index(lambda: synth_corpus(sf_dir), out,
+                IndexConfig(doc_shards=4, **kw),
+                input_key="shrink", resume=False)
+    build_index(lambda: synth_corpus(sf_dir), out,
+                IndexConfig(doc_shards=2, **kw),
+                input_key="shrink", resume=False)
+    for stage in ("segments", "forward"):
+        parts = sorted(
+            e for e in os.listdir(os.path.join(out, stage))
+            if e.startswith("doc_shard=")
+        )
+        assert parts == ["doc_shard=0", "doc_shard=1"], (stage, parts)
+
+    build_index(lambda: synth_corpus(sf_dir), clean,
+                IndexConfig(doc_shards=2, **kw),
+                input_key="shrink-clean", resume=False)
+    a = Searcher(out).search({"spark", "merge"}, k=10, hydrate=False)
+    b = Searcher(clean).search({"spark", "merge"}, k=10, hydrate=False)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

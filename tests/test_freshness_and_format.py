@@ -200,3 +200,52 @@ def test_filter_fresh_bloom_drops_stale_duplicate_rows(
         assert list(fresh["doc_id"]) == [0], mode
         # the surviving row is the NEWER one
         assert len(fresh) == 1, mode
+
+
+def test_filter_fresh_duplicate_docmeta_uses_newest_threshold(
+    ray_session, tmp_path_factory
+):
+    """With ``dedup_urls=False`` docmeta may hold the same url more
+    than once; the freshness threshold must be the NEWEST stored
+    ``last_modified`` in BOTH modes (regression: a file-order-dependent
+    first-match lookup used the stale row's timestamp, re-admitting
+    candidates older than the newest stored version)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from web_based_search_engine_ray.pipelines.build_index import filter_fresh
+
+    idx = tmp_path_factory.mktemp("dupmeta")
+    (idx / "docmeta").mkdir()
+
+    def ts(*days):
+        return pa.array(
+            np.array(days, dtype="datetime64[us]"), type=pa.timestamp("us")
+        )
+
+    # older "dup" row FIRST: a first-match lookup returns 01-01
+    pq.write_table(
+        pa.table({
+            "url": ["dup", "dup", "solo"],
+            "last_modified": ts("2024-01-01", "2024-01-03", "2024-01-02"),
+        }),
+        str(idx / "docmeta" / "part-0.parquet"),
+    )
+    corpus = pa.table({
+        "url": ["dup", "dup", "solo", "brand-new"],
+        "warc_ts": ts(
+            "2024-01-02",   # newer than the stale dup row, older than
+                            # the newest -> must be DROPPED
+            "2024-01-04",   # newer than every stored version -> kept
+            "2024-01-01",   # stale -> dropped
+            "2024-01-01",   # unknown url -> kept
+        ),
+    })
+    for mode in ("exact", "bloom"):
+        kept = filter_fresh(
+            rd.from_arrow(corpus), str(idx), mode=mode
+        ).to_pandas()
+        got = sorted(zip(kept["url"], kept["warc_ts"].astype(str).str[:10]))
+        assert got == [
+            ("brand-new", "2024-01-01"), ("dup", "2024-01-04")
+        ], mode

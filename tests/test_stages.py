@@ -306,3 +306,52 @@ def test_lww_shard_dedup_task_idempotent_on_retry(tmp_path):
     r3 = _lww_shard_dedup_task(batch)
     assert r3["rows"].to_pylist() == [2]
     assert sorted(p.name for p in d.iterdir()) == ["lww-compacted.parquet"]
+
+
+def test_lww_resume_read_error_with_no_inputs_raises(tmp_path, monkeypatch):
+    """A transient footer-read failure on a completed compaction whose
+    inputs were already removed must RAISE — the compacted file is the
+    shard's only copy (regression: the torn-copy branch deleted it and
+    reported the shard as empty).  With inputs still present the same
+    failure IS a torn copy: discard + recompact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.pipelines import build_index as bi
+
+    d = tmp_path / "doc_shard=0"
+    d.mkdir()
+    rows = pa.table({
+        "url": ["u1"],
+        "last_modified": pa.array(
+            np.array(["2024-01-01"], dtype="datetime64[us]"),
+            type=pa.timestamp("us")),
+        "text": ["x"],
+    })
+    pq.write_table(rows, d / "lww-compacted.parquet")
+    batch = pa.table({"shard": pa.array([0], pa.int64()),
+                      "dir": pa.array([str(d)])})
+
+    def boom(path):
+        raise OSError("transient object-store read failure")
+
+    monkeypatch.setattr(bi.fsio, "parquet_num_rows", boom)
+    with pytest.raises(OSError, match="transient"):
+        bi._lww_shard_dedup_task(batch)
+    assert (d / "lww-compacted.parquet").exists()  # sole copy untouched
+
+    # inputs present -> torn-copy path: comp is discarded and the
+    # shard recompacts from the (duplicate-carrying) inputs
+    dup_rows = pa.table({
+        "url": ["u1", "u1"],
+        "last_modified": pa.array(
+            np.array(["2024-01-02", "2024-01-01"], dtype="datetime64[us]"),
+            type=pa.timestamp("us")),
+        "text": ["new", "old"],
+    })
+    pq.write_table(dup_rows, d / "part-0.parquet")
+    r = bi._lww_shard_dedup_task(batch)
+    assert r["rows"].to_pylist() == [1]
+    assert sorted(p.name for p in d.iterdir()) == ["lww-compacted.parquet"]
+    assert pq.read_table(d / "lww-compacted.parquet")["text"].to_pylist() \
+        == ["new"]

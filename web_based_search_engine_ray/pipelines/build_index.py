@@ -183,6 +183,13 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
             try:
                 n = fsio.parquet_num_rows(comp)  # reads+checks footer
             except Exception:
+                if not inputs:
+                    # Inputs are deleted only AFTER a verified replace,
+                    # so comp-without-inputs means the compaction
+                    # completed and this read failure is transient
+                    # (object-store hiccup) — comp is the ONLY copy;
+                    # surface the error instead of deleting it.
+                    raise
                 # torn copy: discard it and fall through to recompact
                 # from the (still intact) inputs
                 fsio.remove(comp)
@@ -421,11 +428,15 @@ def _filter_fresh_exact(corpus, d_meta: str):
     meta = pads.dataset(d_meta, format="parquet").to_table(
         columns=["url", "last_modified"]
     )
+    # docmeta may hold duplicate urls when ``dedup_urls=False``; the
+    # freshness threshold is the NEWEST stored version (max), not
+    # whichever row a file-order-dependent lookup happens to hit
+    meta = meta.group_by("url").aggregate([("last_modified", "max")])
     # broadcast as (Arrow url array, int64 threshold array) — zero-copy
     # from plasma per task, vs a Python dict that every task unpickles
     known_urls = meta["url"].combine_chunks()
     known_ts = (
-        meta["last_modified"].to_numpy(zero_copy_only=False)
+        meta["last_modified_max"].to_numpy(zero_copy_only=False)
         .astype("datetime64[us]").astype(np.int64)
     )
     ref = ray.put((known_urls, known_ts))
@@ -555,9 +566,13 @@ def _filter_fresh_bloom(corpus, d_meta: str, *, num_buckets: int = 64):
             stored_t["url"], value_set=cand["url"].combine_chunks()
         )
         hit_stored = stored_t.filter(probed)
-        return pa.table(
-            {"url": hit_stored["url"], "payload": hit_stored["payload"]}
+        # max per url: docmeta duplicates (``dedup_urls=False``) must
+        # resolve to the NEWEST stored version, same as the exact path
+        agg = (
+            hit_stored.select(["url", "payload"])
+            .group_by("url").aggregate([("payload", "max")])
         )
+        return pa.table({"url": agg["url"], "payload": agg["payload_max"]})
 
     thresh_df = _bucketed_url_join(
         [
@@ -839,11 +854,14 @@ def build_index(
             )
         fsio.makedirs(stage_dir)
         # a previous MONOLITHIC run may have left flat (non-partition)
-        # files at the stage root; overlaying doc_shard= dirs on top
-        # would duplicate rows, so clear anything that isn't a shard
-        # partition (per-part run_stage only wipes its own part dir)
+        # files at the stage root, and a previous PARTITIONED run may
+        # have used a larger doc_shards; either way the stale entries
+        # would be hive-discovered and duplicate rows, so clear
+        # anything that isn't one of THIS config's shard partitions
+        # (per-part run_stage only wipes its own part dir)
+        live_parts = {f"doc_shard={s}" for s in range(cfg.doc_shards)}
         for entry in fsio.listdir(stage_dir):
-            if entry.startswith("doc_shard=") or entry == "_MANIFEST.json":
+            if entry in live_parts or entry == "_MANIFEST.json":
                 continue
             p = os.path.join(stage_dir, entry)
             if fsio.isdir(p):

@@ -123,7 +123,12 @@ def _estimated_blocks(ds) -> int | None:
         if not files:
             return None
         est = len(files)
-        size = ds.size_bytes()
+        # metadata-only size: Dataset.size_bytes() EXECUTES the plan
+        # when metadata can't infer it (ray 2.49 falls back to
+        # plan.execute()), which would run the upstream pipeline twice
+        # just for this estimate — read the inferred metadata directly
+        # and treat "unknown" as unknown
+        size = ds._logical_plan.dag.infer_metadata().size_bytes
         if size:
             from ray.data import DataContext
 

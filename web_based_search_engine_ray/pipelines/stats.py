@@ -55,7 +55,11 @@ def exact_quantiles(ds, col: str, qs: list[float], *,
         .groupby("value")
         .aggregate(Sum("n_part", alias_name="n"))
         # materialize ONCE: the count() guard and the collect share an
-        # execution instead of re-running the combiner+groupby twice
+        # execution instead of re-running the combiner+groupby twice.
+        # Trade-off: a guard VIOLATION now pays object-store
+        # materialization (spills to disk) before raising — the guard
+        # still fires before the driver-heap collect below, which is
+        # the hazard it exists to prevent.
         .materialize()
     )
     n_distinct = merged.count()  # distributed count BEFORE collecting
@@ -152,8 +156,9 @@ def grouped_quantiles(ds, col: str, group_col: str, qs: list[float], *,
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["g", "value"])
         .aggregate(Sum("n_part", alias_name="n"))
-        # materialize ONCE (see exact_quantiles): guard + collect share
-        # a single execution of the combiner+groupby
+        # materialize ONCE (see exact_quantiles, incl. the documented
+        # guard-violation spill trade-off): guard + collect share a
+        # single execution of the combiner+groupby
         .materialize()
     )
     n_rows = merged.count()  # distributed count BEFORE collecting

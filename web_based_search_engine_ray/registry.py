@@ -2182,6 +2182,9 @@ def _hll_distinct_sql() -> str:
         SELECT ROUND(
                  CASE WHEN raw <= 2.5 * {m} AND zeros > 0
                       THEN {m}.0 * ln({m}.0 / zeros)
+                      WHEN raw > 9223372036854775808.0 / 30.0
+                      THEN -9223372036854775808.0
+                           * ln(1.0 - raw / 9223372036854775808.0)
                       ELSE raw END, 4) AS distinct_est,
                (SELECT COUNT(DISTINCT tok) FROM toks) AS distinct_exact
         FROM est
