@@ -101,3 +101,14 @@ def test_entry_smoke(ray_session):
     res = _to_pandas(e.entry())
     assert len(res) > 0
     assert {"query_id", "rank", "doc_id", "score"} <= set(res.columns)
+
+
+def test_ivf_oracle_refuses_mismatched_corpus(con):
+    """The ivf_ann oracle inlines centroids trained on its sf dir; run
+    against a DIFFERENT corpus it must fail self-describingly (in-SQL
+    fingerprint guard), not as an opaque hash mismatch."""
+    from web_based_search_engine_ray.registry import _ivf_ann_sql
+
+    sql = _ivf_ann_sql("/root/testdata/sf0.01")  # views are sf0.001
+    with pytest.raises(duckdb.Error, match="different embeddings table"):
+        con.execute(sql).fetchdf()

@@ -312,8 +312,13 @@ def test_lww_resume_read_error_with_no_inputs_raises(tmp_path, monkeypatch):
     """A transient footer-read failure on a completed compaction whose
     inputs were already removed must RAISE — the compacted file is the
     shard's only copy (regression: the torn-copy branch deleted it and
-    reported the shard as empty).  With inputs still present the same
-    failure IS a torn copy: discard + recompact."""
+    reported the shard as empty).  Inputs still present do NOT prove a
+    torn copy (the remove loop can be interrupted midway through, so
+    comp may hold rows whose inputs are already gone): only the
+    ``.tmp`` source sibling — which ``fsio.replace`` deletes strictly
+    AFTER verifying the copy — marks a genuine torn copy, and only then
+    is comp discarded and the shard recompacted from the (then
+    guaranteed complete) inputs."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -340,8 +345,12 @@ def test_lww_resume_read_error_with_no_inputs_raises(tmp_path, monkeypatch):
         bi._lww_shard_dedup_task(batch)
     assert (d / "lww-compacted.parquet").exists()  # sole copy untouched
 
-    # inputs present -> torn-copy path: comp is discarded and the
-    # shard recompacts from the (duplicate-carrying) inputs
+    # inputs present but NO .tmp sibling: the replace COMPLETED (tmp is
+    # deleted only after a verified copy), so the read failure is still
+    # transient and comp may be the only copy of rows whose inputs a
+    # prior attempt's remove loop already deleted — must still RAISE
+    # (regression: leftover inputs were mis-read as proof of a torn copy
+    # and comp was deleted, losing the already-removed inputs' rows)
     dup_rows = pa.table({
         "url": ["u1", "u1"],
         "last_modified": pa.array(
@@ -350,6 +359,14 @@ def test_lww_resume_read_error_with_no_inputs_raises(tmp_path, monkeypatch):
         "text": ["new", "old"],
     })
     pq.write_table(dup_rows, d / "part-0.parquet")
+    with pytest.raises(OSError, match="transient"):
+        bi._lww_shard_dedup_task(batch)
+    assert (d / "lww-compacted.parquet").exists()
+
+    # .tmp sibling present -> genuine torn copy (crash mid-copy, remove
+    # loop never ran): comp is discarded and the shard recompacts from
+    # the intact inputs
+    pq.write_table(dup_rows, d / "lww-compacted.parquet.tmp")
     r = bi._lww_shard_dedup_task(batch)
     assert r["rows"].to_pylist() == [1]
     assert sorted(p.name for p in d.iterdir()) == ["lww-compacted.parquet"]

@@ -183,15 +183,20 @@ def _lww_shard_dedup_task(batch: pa.Table) -> pa.Table:
             try:
                 n = fsio.parquet_num_rows(comp)  # reads+checks footer
             except Exception:
-                if not inputs:
-                    # Inputs are deleted only AFTER a verified replace,
-                    # so comp-without-inputs means the compaction
-                    # completed and this read failure is transient
-                    # (object-store hiccup) — comp is the ONLY copy;
-                    # surface the error instead of deleting it.
+                if not fsio.exists(comp + ".tmp"):
+                    # ``fsio.replace`` deletes the ``.tmp`` source only
+                    # AFTER verifying the copy, so tmp-absent means the
+                    # replace COMPLETED and this read failure is
+                    # transient (object-store hiccup).  ``comp`` may by
+                    # now be the only copy of rows whose inputs a prior
+                    # attempt's remove loop already deleted — surface
+                    # the error instead of deleting it.  (Remaining
+                    # ``inputs`` do NOT prove comp is torn: the remove
+                    # loop can be interrupted midway.)
                     raise
-                # torn copy: discard it and fall through to recompact
-                # from the (still intact) inputs
+                # torn copy (crash mid-copy: .tmp source intact, and the
+                # remove loop never started so ALL inputs are intact):
+                # discard it and fall through to recompact
                 fsio.remove(comp)
             else:
                 for p in inputs:
@@ -861,7 +866,10 @@ def build_index(
         # (per-part run_stage only wipes its own part dir)
         live_parts = {f"doc_shard={s}" for s in range(cfg.doc_shards)}
         for entry in fsio.listdir(stage_dir):
-            if entry in live_parts or entry == "_MANIFEST.json":
+            # (stage manifests are SIBLING files outside the stage dir —
+            # manifest.py:_manifest_path — and part manifests live under
+            # out_dir/_part_manifests, so everything in here is data)
+            if entry in live_parts:
                 continue
             p = os.path.join(stage_dir, entry)
             if fsio.isdir(p):

@@ -666,6 +666,28 @@ _IVF_NPROBE = 3
 
 
 @functools.lru_cache(maxsize=4)
+def _ivf_oracle_fingerprint(sf_dir: str) -> tuple:
+    """(row count, sum(vec_id), sum of first embedding component) of the
+    table the oracle centroids were trained on — inlined into the SQL so
+    the oracle ERRORS (self-describing) instead of hash-mismatching when
+    it runs against a different corpus than ``WBSE_ORACLE_SF_DIR`` (the
+    ivf_ann analogue of the stemmed oracles' OOV guard)."""
+    import pyarrow.parquet as pq
+
+    from web_based_search_engine_ray.util import embedding_matrix
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mat = embedding_matrix(t["embedding"])
+    return (
+        t.num_rows,
+        int(np.sum(t["vec_id"].to_numpy(zero_copy_only=False))),
+        float(np.sum(mat[:, 0].astype(np.float64))),
+    )
+
+
+@functools.lru_cache(maxsize=4)
 def _ivf_oracle_centroids(sf_dir: str) -> tuple:
     """Deterministic centroids shared by q_ivf_ann and its SQL oracle:
     ``similarity.deterministic_centroids`` on the embeddings table
@@ -2197,8 +2219,12 @@ def _ivf_ann_sql(sf_dir: str) -> str:
     centroids (ties: cluster asc — numpy argmax keeps the first max),
     probes = top-nprobe centroids per query (ties: cluster asc), then
     exact cosine top-k within the probed clusters with the brute-force
-    tie-break (cosine desc, vec_id asc), ROUND(_, 6) like ann_topk."""
+    tie-break (cosine desc, vec_id asc), ROUND(_, 6) like ann_topk.
+    The ``guard`` CTE refuses (DuckDB ``error()``) any corpus whose
+    fingerprint differs from the table the inlined centroids were
+    trained on, instead of failing as an opaque hash mismatch."""
     cents = _ivf_oracle_centroids(sf_dir)
+    fp_n, fp_svid, fp_s0 = _ivf_oracle_fingerprint(sf_dir)
     rows = ", ".join(
         "(" + str(i) + ", ["
         + ", ".join(repr(float(x)) for x in c)
@@ -2212,6 +2238,18 @@ def _ivf_ann_sql(sf_dir: str) -> str:
             FROM embeddings
         ),
         cents(cluster, cent) AS (VALUES {rows}),
+        guard AS (
+            SELECT CASE WHEN (SELECT COUNT(*) FROM e) <> {fp_n}
+                          OR (SELECT SUM(vec_id) FROM e) <> {fp_svid}
+                          OR ABS((SELECT SUM(emb[1]) FROM e)
+                                 - ({fp_s0!r})) > 1e-3
+                   THEN CAST(error('ivf_ann oracle centroids were '
+                        || 'trained on a different embeddings table '
+                        || 'than this corpus; set WBSE_ORACLE_SF_DIR '
+                        || 'to the sf dir the oracle runs against')
+                        AS BIGINT)
+                   ELSE 0 END AS ok
+        ),
         assign AS (
             SELECT e.vec_id, e.emb,
                    (SELECT c.cluster FROM cents c
@@ -2249,7 +2287,7 @@ def _ivf_ann_sql(sf_dir: str) -> str:
             FROM scored
         )
         SELECT query_id, rank, vec_id, ROUND(s, 6) AS cosine
-        FROM ranked WHERE rank < 10
+        FROM ranked WHERE rank < 10 AND (SELECT ok FROM guard) = 0
     """
 
 

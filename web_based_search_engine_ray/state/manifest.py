@@ -3,8 +3,10 @@
 The reference has no checkpoints at all (one jdbm ``commit()`` at close,
 ``Indexer.java:299-303`` — a crash loses the run).  Here every pipeline
 stage writes its output parquet into a stage directory and then a
-``_MANIFEST.json`` recording the input fingerprint, row count, output
-files (per-partition lineage), wall time and config key.  A re-run with
+manifest — a SIBLING ``<stage>.manifest.json`` file next to (never
+inside) the stage dir, so parquet readers over the dir never see it —
+recording the input fingerprint, row count, output files
+(per-partition lineage), wall time and config key.  A re-run with
 ``resume=True`` skips stages whose manifest matches the fingerprint;
 incomplete stage directories (no manifest) are wiped and rebuilt, so
 output is written atomically at stage granularity.
