@@ -20,11 +20,16 @@ import sys
 
 
 def _ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        # Respect RAY_ADDRESS so `ray job submit -- python -m
+        # web_based_search_engine_ray ...` joins the job's cluster;
+        # standalone invocations fall back to a local session.
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
