@@ -173,3 +173,66 @@ def test_lexicon_bucket_lazy_load(idx):
     s.search({"spark", "merge"}, k=5, hydrate=False)
     touched = len(s._lex_cache)
     assert 0 < touched <= 2  # at most one bucket per query term
+
+
+def test_restricted_partial_bitwise_matches_cached(idx):
+    """``_partial_for_candidates`` must use the SAME fp association as
+    the cached-partial scorers — restricted-phase contributions are
+    exact bit for bit in both modes (regression: the bm25 branch
+    multiplied ``(idf*tf)*(k1+1)`` instead of ``idf*(tf*(k1+1))``,
+    making pruned scores differ by ulps from warm-cache scores)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    term = s.stem_query_word("merge")
+    df = s._lex_entry(term)[0]
+    for bm25 in (False, True):
+        tp = (s._term_partial_bm25(term, df) if bm25
+              else s._term_partial(term, df))
+        if tp[3] is not None:  # densified: re-sparsify for comparison
+            ids_c = s._stat_ids[tp[4]]
+            part_c = tp[3][tp[4]]
+        else:
+            ids_c, part_c = tp[0], tp[1]
+        ids_r, part_r, _pos = s._partial_for_candidates(
+            term, df, ids_c, bm25=bm25
+        )
+        pos = np.searchsorted(ids_r, ids_c)
+        assert (ids_r[pos] == ids_c).all()
+        assert (part_r[pos] == part_c).all(), (
+            f"bm25={bm25}: restricted-phase partials not bit-identical"
+        )
+
+
+def test_search_k0_returns_empty(idx):
+    """k=0 must yield empty results on every traversal, not an obscure
+    ``np.partition`` ValueError (regression)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+
+    s = Searcher(idx)
+    for tr in ("taat", "auto"):
+        res = s.search({"spark", "merge"}, k=0, hydrate=False,
+                       traversal=tr)
+        assert len(res) == 0
+
+
+def test_choose_traversal_respects_kernel_capacity(idx, monkeypatch):
+    """Queries over the compiled kernel's capacity (terms > MAX_TERMS
+    or k > MAX_K) must route to TAAT — wand would silently fall back to
+    the order-of-magnitude-slower Python pivot walk (regression)."""
+    from web_based_search_engine_ray.pipelines.search import Searcher
+    from web_based_search_engine_ray.stages.cwand import (
+        MAX_K,
+        load_kernel,
+    )
+
+    if load_kernel() is None:
+        pytest.skip("no C compiler on this host")
+    s = Searcher(idx)
+    # force the volume/skew/k heuristics open so capacity is the only gate
+    monkeypatch.setattr(s, "WAND_AUTO_MIN_VOLUME", 0)
+    monkeypatch.setattr(s, "WAND_AUTO_SKEW", 0.0)
+    monkeypatch.setattr(s, "WAND_AUTO_K_FACTOR", 0)
+    words = ["spark", "merge"]
+    assert s.choose_traversal(words, k=10) == "wand"
+    assert s.choose_traversal(words, k=MAX_K + 1) == "taat"

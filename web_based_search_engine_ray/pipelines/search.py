@@ -98,6 +98,9 @@ class Searcher:
         self._post_cache: dict[str, tuple | None] = {}
         self._pos_cache: dict[str, tuple | None] = {}
         self._partial_cache: dict[str, tuple | None] = {}
+        #: per-term WAND views (sparse ids/partials/block-max/ub),
+        #: built once per term from the partial cache
+        self._wand_cache: dict[tuple, tuple | None] = {}
         #: decode counters (block-max pruning effectiveness measurement)
         self.run_stats = {"considered": 0, "decoded": 0}
         #: reusable dense scoring buffers (allocated on first query)
@@ -494,7 +497,11 @@ class Searcher:
                 1.0 - self.BM25_B
                 + self.BM25_B * self._n_tokens[pos2] / self.avgdl
             )
-            return ids, idf * tf * (self.BM25_K1 + 1.0) / (tf + K), pos2
+            # same FP association as _term_partial_bm25 (num first):
+            # multiply is non-associative, and restricted-phase scores
+            # must be bit-identical to the cached-partial path
+            num = tf * (self.BM25_K1 + 1.0)
+            return ids, idf * num / (tf + K), pos2
         idf = math.log10(self.n_docs / df)
         a = self.cfg.title_weight
         adj = a * ttf + (1.0 - a) * btf
@@ -557,9 +564,19 @@ class Searcher:
                     for t, df, u in entries
                 }
             entries.sort(key=lambda e: -ub[e[0]])
-            remaining = np.cumsum(
-                [ub[t] for t, _, _ in entries][::-1]
-            )[::-1]
+            # remaining[i] = fold of ubs[i:] in TERM-PROCESSING order:
+            # fp addition is monotone (a<=a', b<=b' => fl(a+b) <=
+            # fl(a'+b')) but NOT associative, so the bound must fold
+            # the same way the accumulator does — a reversed cumsum can
+            # land an ulp BELOW the forward fold and prune a true
+            # top-k doc (same hazard the WAND pivot fold refolds for)
+            ubs = [ub[t] for t, _, _ in entries]
+            remaining = np.empty(len(ubs), dtype=np.float64)
+            for i in range(len(ubs)):
+                s = 0.0
+                for v in ubs[i:]:
+                    s += v
+                remaining[i] = s
 
         # Dense per-shard accumulation: every doc has an ordinal into
         # the (sorted) docstats arrays, so the OR-merge is fancy-index
@@ -734,21 +751,37 @@ class Searcher:
         # TAAT path uses (dense images are re-sparsified zero-copy-ish)
         lists = []
         for ti, (term, df) in enumerate(entries):
-            tp = (self._term_partial_bm25(term, df) if bm25
-                  else self._term_partial(term, df))
-            if tp is None:
+            # per-term WAND view cached once: densified partials are
+            # exactly the Zipf-head terms WAND queries hit, and
+            # re-sparsifying them (two O(df) fancy-index copies) plus
+            # the block-max reduceat on EVERY query would dwarf the
+            # walk itself
+            key_w = ("wand", "bm25", term) if bm25 else ("wand", term)
+            view = self._wand_cache.get(key_w, False)
+            if view is False:
+                tp = (self._term_partial_bm25(term, df) if bm25
+                      else self._term_partial(term, df))
+                if tp is None:
+                    view = None
+                else:
+                    if tp[3] is not None:
+                        mask = tp[4]
+                        ids_t = self._stat_ids[mask]
+                        part = tp[3][mask]
+                    else:
+                        ids_t, part = tp[0], tp[1]
+                    n = len(ids_t)
+                    if n == 0:
+                        view = None
+                    else:
+                        bmax = np.maximum.reduceat(
+                            part, np.arange(0, n, bs)
+                        )
+                        view = (ids_t, part, bmax, float(part.max()))
+                self._maybe_cache(self._wand_cache, key_w, view)
+            if view is None:
                 continue
-            if tp[3] is not None:
-                mask = tp[4]
-                ids_t = self._stat_ids[mask]
-                part = tp[3][mask]
-            else:
-                ids_t, part = tp[0], tp[1]
-            n = len(ids_t)
-            if n == 0:
-                continue
-            bmax = np.maximum.reduceat(part, np.arange(0, n, bs))
-            lists.append([0, ids_t, part, bmax, float(part.max()), ti])
+            lists.append([0, view[0], view[1], view[2], view[3], ti])
         if not lists:
             return empty
 
@@ -919,6 +952,14 @@ class Searcher:
                 dfs.append(e[0])
         if len(dfs) < 2:
             return "taat"  # single list: nothing to skip
+        from web_based_search_engine_ray.stages import cwand
+
+        if len(dfs) > cwand.MAX_TERMS or k > cwand.MAX_K:
+            # over the compiled kernel's capacity wand_topk_c returns
+            # None and scores_topk_wand would fall back to the Python
+            # pivot walk — an order of magnitude SLOWER than vector
+            # TAAT, never a win
+            return "taat"
         sum_df, min_df, max_df = sum(dfs), min(dfs), max(dfs)
         if (
             sum_df >= self.WAND_AUTO_MIN_VOLUME
@@ -1173,6 +1214,8 @@ def _topk_indices(ids: np.ndarray, vals: np.ndarray, k: int) -> np.ndarray:
     candidate sets much larger than k, select the boundary value with
     ``np.partition`` first and only sort the >= boundary subset — ties
     at the boundary stay doc_id-deterministic."""
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
     n = len(ids)
     nan_mask = np.isnan(vals)
     if n > 4 * k + 16 and k < n:

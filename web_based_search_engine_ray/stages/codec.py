@@ -15,21 +15,22 @@ from __future__ import annotations
 
 import numpy as np
 
-_MASKS = [np.uint64(0x7F) << np.uint64(7 * k) for k in range(10)]
-
 
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode a 1-D array of unsigned ints to varbyte bytes."""
+    blob, _ = _encode_with_nbytes(values)
+    return blob
+
+
+def _encode_with_nbytes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode and also return the per-value byte lengths (callers that
+    need both — slice splitting — avoid a second 8-pass length scan)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     if v.size and int(v.max()) >= (1 << 63):
         raise ValueError("varbyte values must be < 2**63")
-    # bytes needed per value: ceil(bitlength/7), min 1 — exact via
-    # threshold comparisons (no float log)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 9):
-        nbytes += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    nbytes = varbyte_nbytes(v)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
@@ -41,7 +42,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         idx = starts[sel] + k
         cont = (nbytes[sel] - 1) > k  # set continuation bit unless last byte
         out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def varbyte_decode(blob: bytes) -> np.ndarray:
@@ -69,7 +70,8 @@ def varbyte_decode(blob: bytes) -> np.ndarray:
 
 
 def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length per value (same rule as varbyte_encode)."""
+    """Encoded byte length per value: ceil(bitlength/7), min 1 — exact
+    via threshold comparisons (no float log)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 9):
@@ -85,8 +87,7 @@ def varbyte_encode_slices(values: np.ndarray, lengths: np.ndarray) -> list[bytes
     lengths = np.asarray(lengths, dtype=np.int64)
     if len(lengths) == 0:
         return []
-    blob = varbyte_encode(values)
-    nb = varbyte_nbytes(values)
+    blob, nb = _encode_with_nbytes(values)
     byte_ends = np.cumsum(nb)
     val_ends = np.cumsum(lengths)
     slice_ends = np.zeros(len(lengths), dtype=np.int64)

@@ -18,6 +18,8 @@ import hashlib
 import logging
 import os
 import subprocess
+import threading
+import uuid
 
 import numpy as np
 
@@ -59,22 +61,33 @@ def _compile() -> str | None:
     so = os.path.join(_cache_dir(), f"wand_{tag}.so")
     if os.path.exists(so):
         return so
-    tmp = f"{so}.tmp.{os.getpid()}"  # pid suffix: concurrent worker
-    for cc in ("cc", "gcc", "clang"):  # compiles must not collide
-        try:
-            r = subprocess.run(
-                [cc, "-O2", "-ffp-contract=off", "-shared", "-fPIC",
-                 _SRC, "-o", tmp],
-                capture_output=True, timeout=60,
-            )
-        except (FileNotFoundError, subprocess.TimeoutExpired):
-            continue
-        if r.returncode == 0:
-            os.replace(tmp, so)
-            return so
-        logger.debug("wand kernel compile failed with %s: %s",
-                     cc, r.stderr.decode()[:500])
-    return None
+    # unique tmp per ATTEMPT (pid alone would collide for two threads
+    # of one process racing through first-load, and an interleaved
+    # write could publish a corrupt .so that every later process finds
+    # and fails to dlopen); always cleaned up on failure
+    tmp = f"{so}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
+    try:
+        for cc in ("cc", "gcc", "clang"):  # compiles must not collide
+            try:
+                r = subprocess.run(
+                    [cc, "-O2", "-ffp-contract=off", "-shared", "-fPIC",
+                     _SRC, "-o", tmp],
+                    capture_output=True, timeout=60,
+                )
+            except (FileNotFoundError, subprocess.TimeoutExpired):
+                continue
+            if r.returncode == 0:
+                os.replace(tmp, so)
+                return so
+            logger.debug("wand kernel compile failed with %s: %s",
+                         cc, r.stderr.decode()[:500])
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def load_kernel():
