@@ -30,6 +30,7 @@ modular arithmetic).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 
@@ -85,6 +86,32 @@ def _batch_token_hash_arrays(texts: list[str]):
                 memo[tok] = h
         hv_uniq[i] = h
     return hv_uniq[inv], offsets
+
+
+def _pb_batch(t: pa.Table, val_col: str, val_type: pa.DataType) -> pa.Table:
+    """Append the pair-dedup bucket column ``pb = (31*doc_a + doc_b) %
+    64``.  Zero-row blocks out of a ``map_groups`` can arrive with NO
+    schema at all (Ray Data represents an empty partition as an empty
+    columnless table) — return a typed empty (doc_a, doc_b, val, pb)
+    so the downstream groupby sees a stable schema instead of a
+    KeyError."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                val_col: pa.array([], val_type),
+                "pb": pa.array([], pa.int64()),
+            }
+        )
+    return t.append_column(
+        "pb",
+        pa.array(
+            (t["doc_a"].to_numpy(zero_copy_only=False) * 31
+             + t["doc_b"].to_numpy(zero_copy_only=False)) % 64,
+            type=pa.int64(),
+        ),
+    )
 
 
 def _unique_pairs(a: np.ndarray, b: np.ndarray):
@@ -493,13 +520,8 @@ def minhash_lsh_pairs(
         )
 
     pairs = pairs.map_batches(
-        lambda t: t.append_column(
-            "pb",
-            pa.array(
-                (t["doc_a"].to_numpy(zero_copy_only=False) * 31
-                 + t["doc_b"].to_numpy(zero_copy_only=False)) % 64,
-                type=pa.int64(),
-            ),
+        functools.partial(
+            _pb_batch, val_col="est_jaccard", val_type=pa.float64()
         ),
         batch_format="pyarrow",
     )
@@ -639,13 +661,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
         )
 
     pairs = pairs.map_batches(
-        lambda t: t.append_column(
-            "pb",
-            pa.array(
-                (t["doc_a"].to_numpy(zero_copy_only=False) * 31
-                 + t["doc_b"].to_numpy(zero_copy_only=False)) % 64,
-                type=pa.int64(),
-            ),
+        functools.partial(
+            _pb_batch, val_col="hamming", val_type=pa.int64()
         ),
         batch_format="pyarrow",
     )
@@ -844,6 +861,22 @@ def connected_components(pairs, *, src: str = "doc_a", dst: str = "doc_b",
         # both directions; schema shared with the labels table so the
         # per-round union is schema-stable: is_edge marks edge rows,
         # lbl carries a min-inert sentinel on them
+        if b.num_rows == 0:
+            # a groupby over a pair table whose every row landed in one
+            # partition emits the OTHER partitions as zero-row blocks
+            # that can lose their schema entirely (Ray Data represents
+            # them as empty columnless tables) — indexable by neither
+            # src nor dst.  Only the EMPTY case is tolerated: a
+            # nonempty table missing the src column still raises.
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    "other": pa.array([], type=pa.int64()),
+                    "lbl": pa.array([], type=pa.int64()),
+                    "is_edge": pa.array([], type=pa.bool_()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
         key = np.concatenate(
             [
                 b[src].to_numpy(zero_copy_only=False),
